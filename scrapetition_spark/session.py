@@ -1,0 +1,60 @@
+"""SparkSession bootstrap tuned for the crawl/analytics workload.
+
+Maps the reference's connect+DDL step (app/Main.hs:207-217,
+Setup.hs:16-24) onto SparkSession construction + catalog bootstrap.
+
+Scale rationale (100 TB / 1000 executors):
+- AQE on: runtime coalescing of shuffle partitions, skew-join
+  splitting for hot-host joins, dynamic broadcast conversion.
+- Arrow on: every pandas UDF (URL canonicalization, parse kernel)
+  crosses the JVM/Python boundary in columnar batches.
+- shuffle.partitions is a local default; on a real cluster it is
+  set per-job to ~2-3x total cores (or left to AQE's coalescing
+  with a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "scrapetition-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, else *).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    # Sandbox/local-mode: avoid reverse-DNS stalls on task scheduling.
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.locality.wait", "0")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

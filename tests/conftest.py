@@ -1,0 +1,14 @@
+"""Shared session-scoped SparkSession for all tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from scrapetition_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="scrapetition-tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()

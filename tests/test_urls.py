@@ -1,0 +1,124 @@
+"""URL scalar-function goldens (FIXTURES.md §4), verbatim from
+/root/reference/test/Test/Network/Scrapetition/Utils.hs:137-161 and
+test/Test/Network/Scrapetition/Scrapers/Generic.hs:13-48."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from scrapetition_spark.functions.urls import (
+    _domain_series,
+    _mk_absolute_series,
+    count_of_fans,
+    drop_fragment,
+    fragment_or_url,
+    hygienic_link,
+    identifier,
+    mk_absolute,
+    strip_query,
+    url_domain,
+)
+
+
+def test_domain_goldens_local():
+    # test/.../Utils.hs:149-153
+    urls = pd.Series(
+        [
+            "http://www.feu.de/ksw/index.html",
+            "ftp://www.feu.de/ksw/index.html",
+            "www.feu.de/ksw/index.html",  # scheme-less => null
+            "urn:isbn:3827370191",  # no authority => null
+            None,
+        ]
+    )
+    out = _domain_series(urls)
+    assert out.tolist() == ["www.feu.de", "www.feu.de", None, None, None]
+
+
+def test_domain_spark(spark):
+    df = spark.createDataFrame(
+        [("http://www.feu.de/ksw",), ("www.feu.de/ksw",), ("urn:isbn:3827370191",)],
+        ["url"],
+    )
+    got = [r[0] for r in df.select(url_domain("url")).collect()]
+    assert got == ["www.feu.de", None, None]
+
+
+def test_mk_absolute_goldens_local():
+    # test/.../Utils.hs:156-161
+    base = "http://www.feu.de"
+    cases = [
+        (base, "ksw", "http://www.feu.de/ksw"),
+        ("http://www.feu.de/mi", "/ksw", "http://www.feu.de/ksw"),
+        (base, "http://other.org/x", "http://other.org/x"),  # absolute passthrough
+        ("not a uri", "ksw", "ksw"),  # unparsable base => path verbatim
+        ("www.feu.de", "ksw", "ksw"),  # scheme-less base => path verbatim
+    ]
+    bases = pd.Series([c[0] for c in cases])
+    paths = pd.Series([c[1] for c in cases])
+    assert _mk_absolute_series(bases, paths).tolist() == [c[2] for c in cases]
+
+
+def test_mk_absolute_spark(spark):
+    df = spark.createDataFrame(
+        [("http://www.feu.de", "ksw"), ("http://a.de/x/y", "../z")], ["b", "p"]
+    )
+    got = [r[0] for r in df.select(mk_absolute("b", "p")).collect()]
+    assert got == ["http://www.feu.de/ksw", "http://a.de/z"]
+
+
+def test_identifier_goldens(spark):
+    # test/.../Utils.hs:137-146: fallback literal is "unkown"
+    df = spark.createDataFrame(
+        [("http://www.feu.de/x", "1"), (None, "1")], ["url", "id"]
+    )
+    got = [
+        r[0]
+        for r in df.select(identifier("|", F.col("url"), F.col("id"))).collect()
+    ]
+    assert got == ["www.feu.de|1", "unkown|1"]
+    # domain override wins; other-id override wins
+    got2 = df.select(
+        identifier(
+            "/",
+            F.col("url"),
+            F.col("id"),
+            domain_override=F.lit("dom"),
+            other_id=F.lit("other"),
+        )
+    ).collect()
+    assert [r[0] for r in got2] == ["dom/other", "dom/other"]
+
+
+def test_fragment_helpers(spark):
+    df = spark.createDataFrame(
+        [("http://x/y#frag",), ("http://x/y",), ("a#b#c",)], ["u"]
+    )
+    frag = [r[0] for r in df.select(fragment_or_url("u")).collect()]
+    assert frag == ["frag", "http://x/y", "c"]
+    nofrag = [r[0] for r in df.select(drop_fragment("u")).collect()]
+    assert nofrag == ["http://x/y", "http://x/y", "a"]
+
+
+def test_strip_query(spark):
+    df = spark.createDataFrame([("http://x/y?page=2",), ("http://x/y",)], ["u"])
+    got = [r[0] for r in df.select(strip_query("u")).collect()]
+    assert got == ["http://x/y", "http://x/y"]
+
+
+def test_hygienic_link(spark):
+    # Generic.hs:45-52 goldens (test/.../Scrapers/Generic.hs:35-48)
+    df = spark.createDataFrame(
+        [("#same-doc",), ("mailto:a@b.c",), ("javascript:void(0)",), ("/ok#f",)],
+        ["u"],
+    )
+    got = [r[0] for r in df.select(hygienic_link("u")).collect()]
+    assert got == [False, False, False, True]
+
+
+def test_count_of_fans(spark):
+    # ZeitDe.hs:362-367: commas + 1 (empty string counts 1)
+    df = spark.createDataFrame([("1,2,3",), ("9",), ("",)], ["fans"])
+    got = [r[0] for r in df.select(count_of_fans("fans")).collect()]
+    assert got == [3, 1, 1]
