@@ -1,0 +1,320 @@
+"""The parse kernel: interleaved spans → typed item frames.
+
+Re-expresses every scalpel scraper of the reference
+(/root/reference/src/Network/Scrapetition/Scrapers/ZeitDe.hs,
+Generic.hs — operators P1-P13 in SURVEY.md §2.4) as ONE declarative
+Spark plan over the exploded span table:
+
+    posexplode(spans) → role/payload split → window comment-grouping
+    → conditional-aggregation pivot → per-kind frames
+
+Design choice (scale): this is deliberately *not* a pandas UDF. All
+extraction is native column expressions — string ops stay inside
+whole-stage codegen, the only exchange is the window/groupBy on
+(url), which is needed anyway to assemble per-comment records and is
+perfectly distributed (one page = one tiny group, millions of pages
+= uniform keys). Pandas/Arrow UDFs are reserved for the genuinely
+non-native URL semantics (functions/urls.py). The per-row invariant
+holds trivially: spans are only read (ordered by ``offset``), never
+rewritten.
+
+Ordering: every emitted row carries ``pos`` — the span offset of its
+first span — so document order (the golden-test order of
+test/.../Scrapers/ZeitDe.hs) is materialized, not implicit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from scrapetition_spark import spans as SP
+from scrapetition_spark.functions.urls import (
+    count_of_fans,
+    drop_fragment,
+    fragment_or_url,
+    hygienic_link,
+    strip_query,
+)
+
+# P11 (ZeitDe.hs:386-388): "%FT%T%z" — ISO-8601 with numeric offset.
+DATETIME_FMT = "yyyy-MM-dd'T'HH:mm:ssXXX"
+
+
+def explode_spans(pages: DataFrame) -> DataFrame:
+    """documents(url, spans, status, ...) → long frame
+    (url, kind, text, media_ref, offset, role, payload).
+
+    Pages with status >= 400 have no body (App.hs:119-121) and are
+    dropped before the explode. Spans are processed strictly in
+    ``offset`` order downstream.
+    """
+    body_ok = F.col("status").isNull() | (F.col("status") < 400)
+    s = (
+        pages.filter(body_ok)
+        .select(
+            F.col("doc_id").alias("url"),
+            F.explode("spans").alias("s"),
+        )
+        .select(
+            "url",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+    )
+    role = F.substring_index("text", SP.SEP, 1)
+    payload = F.expr(
+        f"substring(text, length(substring_index(text, '{SP.SEP}', 1)) + 2)"
+    )
+    return s.withColumn("role", role).withColumn("payload", payload)
+
+
+def _grp(role: str, col: str = "payload") -> F.Column:
+    return F.max(F.when(F.col("role") == role, F.col(col)))
+
+
+@dataclass
+class ParseResult:
+    """Per-kind item frames, all carrying (url, pos) document order."""
+
+    comments: DataFrame
+    users: DataFrame  # contributors derived from comments (P3)
+    voters: DataFrame  # fan-exploded skeletal users (P8)
+    votes: DataFrame  # fan-exploded votes (P7)
+    articles: DataFrame  # article-page metadata (P4)
+    articles_searched: DataFrame  # search teasers (P5)
+    articles_from_comments: DataFrame  # canonical-only articles (P6)
+    urls: DataFrame  # (url, role, target, offset) per collector (P1, P10)
+
+
+def parse_pages(pages: DataFrame) -> ParseResult:
+    """Run the full extraction plan. Dispatcher regex gating (C8) is
+    applied later by the crawl layer — this kernel extracts every
+    role; gating is a cheap filter on the small result frames."""
+    s = explode_spans(pages)
+
+    w = Window.partitionBy("url").orderBy("offset")
+    in_comment = F.sum(
+        F.when(F.col("role") == SP.ROLE_COMMENT, 1).otherwise(0)
+    ).over(w)
+    in_teaser = F.sum(
+        F.when(F.col("role") == SP.ROLE_TEASER_LINK, 1).otherwise(0)
+    ).over(w)
+    s = s.withColumn("cseq", in_comment).withColumn("tseq", in_teaser)
+
+    # ---- comments (P2; ZeitDe.hs:125-172) --------------------------------
+    c = (
+        s.filter(F.col("cseq") > 0)
+        .groupBy("url", "cseq")
+        .agg(
+            F.min("offset").alias("pos"),
+            _grp(SP.ROLE_COMMENT).alias("id"),
+            _grp(SP.ROLE_BODY).alias("body"),
+            F.max(
+                F.when(
+                    (F.col("role") == SP.ROLE_NAME) & (F.col("kind") == "media"),
+                    F.col("payload"),
+                )
+            ).alias("name_a"),
+            _grp(SP.ROLE_NAME, "media_ref").alias("name_href"),
+            F.max(
+                F.when(
+                    (F.col("role") == SP.ROLE_NAME) & (F.col("kind") == "text"),
+                    F.col("payload"),
+                )
+            ).alias("name_plain"),
+            _grp(SP.ROLE_DATE).alias("date_text"),
+            _grp(SP.ROLE_DATE, "media_ref").alias("date_href"),
+            _grp(SP.ROLE_ORIGIN, "media_ref").alias("origin_href"),
+            _grp(SP.ROLE_CID_INPUT).alias("cid_value"),
+            _grp(SP.ROLE_REACTION).alias("fans"),
+        )
+    )
+    emdash = SP.EMDASH
+    # title = strip . takeWhile (/= '—')   (ZeitDe.hs:136-138)
+    title = F.when(
+        F.col("date_text").isNotNull(),
+        F.trim(F.substring_index("date_text", emdash, 1)),
+    )
+    # informal date = strip . dropWhile (=='—') . dropWhile (/='—')
+    # (ZeitDe.hs:148-150): "" when no em-dash present.
+    informal = F.when(
+        F.col("date_text").isNotNull(),
+        F.when(
+            F.col("date_text").contains(emdash),
+            F.trim(F.regexp_replace("date_text", f"^[^{emdash}]*{emdash}+", "")),
+        ).otherwise(F.lit("")),
+    )
+    # user = stripPrefix "https://profile.zeit.de/" href (ZeitDe.hs:139-142):
+    # Nothing when the prefix is absent.
+    user = F.when(
+        F.col("name_href").startswith(SP.USER_PREFIX),
+        F.expr(f"substring(name_href, {len(SP.USER_PREFIX) + 1})"),
+    )
+    # parent: comment__origin fragment, else 'cid-' <> input value
+    # (ZeitDe.hs:153-158)
+    parent = F.coalesce(
+        F.when(F.col("origin_href").isNotNull(), fragment_or_url("origin_href")),
+        F.when(F.col("cid_value").isNotNull(), F.concat(F.lit("cid-"), "cid_value")),
+    )
+    comments = (
+        # scalpel requires body + id for the comment to parse at all
+        c.filter(F.col("id").isNotNull() & F.col("body").isNotNull())
+        .select(
+            "url",
+            "pos",
+            F.col("id"),
+            F.trim("body").alias("text"),  # T.strip innerHTML (ZeitDe.hs:135)
+            title.alias("title"),
+            user.alias("user"),
+            F.coalesce("name_a", F.trim("name_plain")).alias("name"),
+            informal.alias("date_informal"),
+            F.lit(None).cast("timestamp").alias("date"),  # ZeitDe.hs:151
+            parent.alias("parent"),
+            F.lit(None).cast("string").alias("thread"),  # ZeitDe.hs:159
+            F.when(
+                F.col("fans").isNotNull(), count_of_fans("fans")
+            ).alias("up_votes"),
+            F.lit(None).cast("int").alias("down_votes"),  # ZeitDe.hs:164
+            F.when(
+                F.col("date_href").isNotNull(), strip_query("date_href")
+            ).alias("article"),
+            F.col("fans"),
+        )
+    )
+
+    # ---- users = contributors (P3; User.hs:57-61): user id required ----
+    users = comments.filter(F.col("user").isNotNull()).select(
+        "url", "pos", F.col("user"), F.col("name")
+    )
+
+    # ---- votes / voters (P7/P8; ZeitDe.hs:245-285): explode data-fans --
+    fan = F.explode(F.split("fans", ","))
+    fans_base = comments.filter(F.col("fans").isNotNull()).select(
+        "url", "pos", F.col("id").alias("comment"), fan.alias("user")
+    )
+    votes = fans_base.select(
+        "url", "pos", "user", "comment", F.lit(1).alias("vote")  # ZeitDe.hs:259
+    )
+    voters = fans_base.select(
+        "url", "pos", "user", F.lit(None).cast("string").alias("name")
+    )
+
+    # ---- articles from page head (P4; ZeitDe.hs:191-214) ---------------
+    a = s.groupBy("url").agg(
+        _grp(SP.ROLE_CANONICAL, "media_ref").alias("canonical"),
+        _grp(SP.ROLE_TITLE).alias("title_raw"),
+        _grp(SP.ROLE_DESCRIPTION).alias("description"),
+        _grp(SP.ROLE_BYLINE).alias("author"),
+        _grp(SP.ROLE_META_DATE).alias("date_raw"),
+    )
+    articles = (
+        # canonical, <title> and meta date are required selectors
+        a.filter(
+            F.col("canonical").isNotNull()
+            & F.col("title_raw").isNotNull()
+            & F.col("date_raw").isNotNull()
+        ).select(
+            "url",
+            F.lit(0).alias("pos"),
+            "canonical",
+            # strip . takeWhile (/='|')  (ZeitDe.hs:201)
+            F.trim(F.substring_index("title_raw", "|", 1)).alias("title"),
+            F.trim("description").alias("description"),
+            F.col("author"),
+            F.to_timestamp("date_raw", DATETIME_FMT).alias("date"),
+        )
+    )
+
+    # ---- search teasers (P5; ZeitDe.hs:217-242) -------------------------
+    t = (
+        s.filter(F.col("tseq") > 0)
+        .groupBy("url", "tseq")
+        .agg(
+            F.min("offset").alias("pos"),
+            _grp(SP.ROLE_TEASER_LINK, "media_ref").alias("canonical"),
+            _grp(SP.ROLE_TEASER_TITLE).alias("title_raw"),
+            _grp(SP.ROLE_TEASER_TEXT).alias("text_raw"),
+            _grp(SP.ROLE_TEASER_BYLINE).alias("byline"),
+            _grp(SP.ROLE_TEASER_DATETIME).alias("datetime_raw"),
+        )
+    )
+    articles_searched = (
+        t.filter(
+            F.col("canonical").isNotNull()
+            & F.col("title_raw").isNotNull()
+            & F.col("datetime_raw").isNotNull()
+        ).select(
+            "url",
+            "pos",
+            "canonical",
+            F.trim("title_raw").alias("title"),
+            F.trim("text_raw").alias("description"),
+            # stripAuthor: strip . last . splitOn "  " (ZeitDe.hs:393-394)
+            F.when(
+                F.col("byline").isNotNull(),
+                F.trim(F.element_at(F.split("byline", "  "), -1)),
+            ).alias("author"),
+            F.to_timestamp("datetime_raw", DATETIME_FMT).alias("date"),
+        )
+    )
+
+    # ---- minimal articles from comments (P6; ZeitDe.hs:184-189) --------
+    # nub keeps first occurrence: min(pos) per canonical per page.
+    articles_from_comments = (
+        comments.filter(F.col("article").isNotNull())
+        .groupBy("url", F.col("article").alias("canonical"))
+        .agg(F.min("pos").alias("pos"))
+        .select(
+            "url",
+            "pos",
+            "canonical",
+            F.lit(None).cast("string").alias("title"),
+            F.lit(None).cast("string").alias("description"),
+            F.lit(None).cast("string").alias("author"),
+            F.lit(None).cast("timestamp").alias("date"),
+        )
+    )
+
+    # ---- URL collectors (P1/P10) ----------------------------------------
+    m = F.col("media_ref")
+    target = (
+        F.when(F.col("role") == SP.ROLE_JS_LOADER, drop_fragment(m))  # :312-314
+        .when(F.col("role") == SP.ROLE_PAGER, drop_fragment(m))  # :326-329
+        .when(F.col("role") == SP.ROLE_NEXT, m)  # :320-323 (raw link)
+        .when(F.col("role") == SP.ROLE_USER_COMMENT, strip_query(m))  # :344-347
+        .when(F.col("role") == SP.ROLE_TEASER_LINK, m)  # :350-353
+        .when(F.col("role") == SP.ROLE_ANCHOR, drop_fragment(m))  # Generic.hs:36
+    )
+    collector_roles = [
+        SP.ROLE_JS_LOADER,
+        SP.ROLE_PAGER,
+        SP.ROLE_NEXT,
+        SP.ROLE_USER_COMMENT,
+        SP.ROLE_TEASER_LINK,
+        SP.ROLE_ANCHOR,
+    ]
+    urls = (
+        s.filter(F.col("role").isin(collector_roles) & m.isNotNull())
+        # generic anchors pass the hygiene filter (Generic.hs:45-52);
+        # applied to the raw href before fragment-dropping.
+        .filter(
+            (F.col("role") != SP.ROLE_ANCHOR) | hygienic_link(m)
+        )
+        .select("url", "role", target.alias("target"), "offset")
+    )
+
+    return ParseResult(
+        comments=comments,
+        users=users,
+        voters=voters,
+        votes=votes,
+        articles=articles,
+        articles_searched=articles_searched,
+        articles_from_comments=articles_from_comments,
+        urls=urls,
+    )
