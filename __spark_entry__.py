@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator family (SURVEY.md §2 +
+the training-data operators) onto the driver's parquet tables;
+``oracle_sql()`` holds the ANSI-SQL twin DuckDB runs on the same
+tables. Aggregates are aliased identically on both sides; top-k
+queries carry explicit tie-breaks; floats are rounded before
+comparison (both engines compute in double).
 """
 
 from __future__ import annotations
@@ -12,27 +13,612 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: thread propagation (the reference's core analytics
+    operator, Utils.hs:94-126 / utils/threads.sql) over the sf0.001
+    events-derived comment forest."""
+    from scrapetition_spark.operators.corpus import comments_from_events
+    from scrapetition_spark.operators.threads import propagate_threads
+
+    events = _t(spark, "/root/testdata/sf0.001", "events")
+    comments = comments_from_events(events)
+    out = propagate_threads(
+        comments, domain_col=None, with_depth=True
+    )
+    return out.select("id", "parent", "thread", "depth")
+
+
+# --------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from scrapetition_spark.operators import analytics as A
+    from scrapetition_spark.operators import dedup as D
+    from scrapetition_spark.operators import similarity as S
+    from scrapetition_spark.operators import text as T
+    from scrapetition_spark.operators.corpus import (
+        comments_from_events,
+        urls_from_documents,
+    )
+    from scrapetition_spark.operators.threads import propagate_threads
+    from scrapetition_spark.plans.seen import BloomFilter, unseen
+    from pyspark.sql import Window
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def a5(spark, sf):
+        return A.a5_counts_per_domain(
+            _t(spark, sf, "lineitem"), _t(spark, sf, "orders"),
+            _t(spark, sf, "customer"), _t(spark, sf, "nation"),
+        )
+
+    def a6(spark, sf):
+        return A.a6_avg_items_per_order(_t(spark, sf, "lineitem"))
+
+    def a7(spark, sf):
+        return A.a7_top_visited(_t(spark, sf, "lineitem"), _t(spark, sf, "orders"))
+
+    def a8(spark, sf):
+        return A.a8_threads_per_article(
+            _t(spark, sf, "orders"), _t(spark, sf, "customer"), _t(spark, sf, "nation")
+        )
+
+    def a9(spark, sf):
+        return A.a9_density(_t(spark, sf, "lineitem"))
+
+    def a10(spark, sf):
+        return A.a10_answer_graph(_t(spark, sf, "lineitem"), _t(spark, sf, "supplier"))
+
+    def a11(spark, sf):
+        return A.a11_cooccurrence(_t(spark, sf, "lineitem"))
+
+    def a12(spark, sf):
+        return A.a12_leaderboard(_t(spark, sf, "orders"), _t(spark, sf, "customer"))
+
+    def a13(spark, sf):
+        return A.a13_filtered_count(_t(spark, sf, "customer"))
+
+    def a14(spark, sf):
+        return A.a14_concomitance(_t(spark, sf, "lineitem"))
+
+    def a15(spark, sf):
+        return A.a15_set_ops(urls_from_documents(_t(spark, sf, "documents")))
+
+    def a3(spark, sf):
+        return A.a3_graph_bfs(_t(spark, sf, "orders"), _t(spark, sf, "lineitem"))
+
+    def c12(spark, sf):
+        comments = comments_from_events(_t(spark, sf, "events"))
+        out = propagate_threads(comments, domain_col=None, with_depth=True)
+        return out.select("id", "thread", "depth")
+
+    def c1(spark, sf):
+        u = urls_from_documents(_t(spark, sf, "documents"))
+        w = Window.partitionBy("host").orderBy("discovery_epoch", "seq")
+        return (
+            u.filter(~F.col("is_seen"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select("url", "host", "discovery_epoch", "seq", "rn")
+        )
+
+    def c3(spark, sf):
+        u = urls_from_documents(_t(spark, sf, "documents"))
+        disc = u.filter(F.col("doc_id") < 300).select(
+            F.concat(
+                F.lit("https://t.example.test/x/"),
+                (F.col("doc_id") % 37).cast("string"),
+            ).alias("target"),
+            (F.col("doc_id") % 2).cast("int").alias("epoch"),
+            F.col("seq"),
+            (F.col("doc_id") % 13).cast("int").alias("pos"),
+        )
+        w = Window.partitionBy("target").orderBy("epoch", "seq", "pos")
+        return (
+            disc.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("target", "epoch", "seq", "pos")
+        )
+
+    def c9(spark, sf):
+        u = urls_from_documents(_t(spark, sf, "documents"))
+        w = Window.partitionBy("host").orderBy("priority", "seq")
+        return (
+            u.filter(~F.col("is_seen"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 1)
+            .orderBy("priority", "seq")
+            .limit(20)
+            .select("url", "host", "priority", "seq")
+        )
+
+    def c5(spark, sf):
+        u = urls_from_documents(_t(spark, sf, "documents"))
+        cand = u.filter(F.col("doc_id") % 2 == 0).select("url")
+        seen = u.filter(F.col("is_seen")).select("url")
+        bloom = BloomFilter.empty(8192, 16).build_from(seen)
+        return unseen(cand, seen, bloom)
+
+    def u1(spark, sf):
+        from scrapetition_spark.functions.urls import (
+            drop_fragment,
+            fragment_or_url,
+            strip_query,
+            url_domain,
+        )
+
+        u = urls_from_documents(_t(spark, sf, "documents"))
+        return u.filter(F.col("doc_id") < 200).select(
+            "url",
+            url_domain(F.col("url")).alias("domain"),
+            strip_query("url").alias("no_query"),
+            drop_fragment("url").alias("no_frag"),
+            fragment_or_url("url").alias("frag_or_url"),
+        )
+
+    def d1(spark, sf):
+        return D.exact_dedup(_t(spark, sf, "documents"))
+
+    def d2(spark, sf):
+        return D.minhash_lsh_candidates(_t(spark, sf, "documents"), n_bands=4)
+
+    def d3(spark, sf):
+        return D.lsh_verified_neardups(
+            _t(spark, sf, "documents"), n_bands=4, threshold=0.02
+        )
+
+    def d4(spark, sf):
+        return D.simhash_near_dups(_t(spark, sf, "documents"), max_hamming=12)
+
+    def s1(spark, sf):
+        return S.cosine_topk(
+            _t(spark, sf, "embeddings"), query_ids=list(range(10)), k=5
+        )
+
+    def s2(spark, sf):
+        return S.ann_lsh_topk(
+            _t(spark, sf, "embeddings"), query_ids=list(range(10)), k=5
+        )
+
+    def t1(spark, sf):
+        return T.quality_scores(_t(spark, sf, "documents"))
+
+    def t2(spark, sf):
+        return T.token_counts(_t(spark, sf, "documents"), top=20)
+
+    def t3(spark, sf):
+        return T.fingerprints(_t(spark, sf, "documents"))
+
+    def t4(spark, sf):
+        return T.language_guess(_t(spark, sf, "documents"))
+
+    def crawl_epoch(spark, sf):
+        """One wide crawl epoch over a deterministic synthetic web
+        (rows-only check: bloom/politeness/parse are not SQL)."""
+        import tempfile
+
+        from scrapetition_spark.config import CrawlConfig, Dispatcher
+        from scrapetition_spark.crawl import CrawlEngine
+        from scrapetition_spark.schemas import URLS_SEEN
+        from scrapetition_spark.sources.catalog import Catalog
+        from scrapetition_spark.sources.fixtures import synthetic_web
+
+        docs = synthetic_web(spark, n_docs=2000, n_hosts=50, fanout=4)
+        cfg = CrawlConfig(
+            start_domain="",
+            follow_links=True,
+            cross_domain=True,
+            politeness_sec=0,
+            per_host_budget=8,
+            dispatchers=(
+                Dispatcher(
+                    "bench", r"^https://h\d+\.test/.*", "comment",
+                    url_collectors=("js-comment-loader", "pager__page"),
+                ),
+            ),
+        )
+        cat = Catalog(spark, tempfile.mkdtemp(prefix="entryepoch-"))
+        eng = CrawlEngine(spark, cat, cfg, docs, expected_urls=1 << 14)
+        seeds = [r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").limit(2).collect()]
+        eng.seed(seeds)
+        eng.run(max_epochs=3)
+        return cat.read("urls_seen", URLS_SEEN).orderBy("fetch_seq").select(
+            "url", "fetch_seq", "epoch", "status"
+        )
+
+    def parse_golden(spark, sf):
+        """Golden-page parse kernel output (rows-only; goldens are
+        asserted in tests/test_parse_golden.py)."""
+        from scrapetition_spark.parse import parse_pages
+        from scrapetition_spark.sources.fixtures import documents_df, golden_page
+
+        url, spans = golden_page()
+        parsed = parse_pages(documents_df(spark, {url: spans}))
+        return parsed.comments.orderBy("pos").select(
+            "id", "parent", "user", "name", "up_votes", "article"
+        )
+
+    return {
+        "a3_graph_bfs": a3,
+        "a5_counts_per_domain": a5,
+        "a6_avg_items_per_order": a6,
+        "a7_top_visited": a7,
+        "a8_threads_per_article": a8,
+        "a9_density": a9,
+        "a10_answer_graph": a10,
+        "a11_cooccurrence": a11,
+        "a12_leaderboard": a12,
+        "a13_filtered_count": a13,
+        "a14_concomitance": a14,
+        "a15_set_ops": a15,
+        "c1_due_set": c1,
+        "c3_frontier_merge_fifo": c3,
+        "c5_unseen_bloom": c5,
+        "c9_politeness_queue": c9,
+        "c12_thread_propagation": c12,
+        "u1_url_scalars": u1,
+        "d1_exact_dedup": d1,
+        "d2_minhash_lsh": d2,
+        "d3_ngram_jaccard": d3,
+        "d4_simhash_near_dups": d4,
+        "s1_cosine_topk": s1,
+        "s2_ann_lsh": s2,
+        "t1_quality_scores": t1,
+        "t2_token_counts": t2,
+        "t3_fingerprints": t3,
+        "t4_language_guess": t4,
+        "crawl_epoch": crawl_epoch,
+        "parse_golden": parse_golden,
+    }
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-compatible ANSI)
+
+_URLS_CTE = """
+urls AS (
+  SELECT doc_id,
+         'https://h' || CAST(doc_id % 23 AS VARCHAR) || '.example.test/d/' || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 4 = 1 THEN '?page=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END
+           || CASE WHEN doc_id % 5 = 2 THEN '#frag' ELSE '' END AS url,
+         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example.test' AS host,
+         doc_id % 3 = 0 AS is_seen,
+         CAST(doc_id % 4 AS INT) AS discovery_epoch,
+         doc_id AS seq,
+         CAST(doc_id % 11 AS INT) AS priority
+  FROM documents)
+"""
+
+_SHINGLES3 = """
+toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, lang,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh2 AS (SELECT doc_id, lang, shingle FROM sh WHERE shingle IS NOT NULL)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "a3_graph_bfs": """
+            WITH RECURSIVE edges AS (
+              SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                     'o' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+              UNION
+              SELECT 'o' || CAST(l_orderkey AS VARCHAR),
+                     'p' || CAST(l_partkey AS VARCHAR) FROM lineitem
+            ), bfs(node, depth) AS (
+              SELECT 'c1', 0
+              UNION ALL
+              SELECT e.dst, b.depth + 1 FROM edges e JOIN bfs b ON e.src = b.node
+              WHERE b.depth < 2
+            )
+            SELECT depth, count(*) AS n_nodes
+            FROM (SELECT node, min(depth) AS depth FROM bfs GROUP BY node)
+            GROUP BY depth ORDER BY depth
+        """,
+        "a5_counts_per_domain": """
+            SELECT n_name,
+                   count(DISTINCT o_orderkey) AS n_orders,
+                   count(*) AS n_items,
+                   count(DISTINCT c_custkey) AS n_customers
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "a6_avg_items_per_order": """
+            WITH per_order AS (
+              SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey)
+            SELECT round(avg(cnt), 4) AS avg_items, count(*) AS n_orders FROM per_order
+        """,
+        "a7_top_visited": """
+            SELECT o_orderkey, o_orderpriority, count(*) AS cnt,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_orderpriority
+            ORDER BY cnt DESC, o_orderkey ASC LIMIT 30
+        """,
+        "a8_threads_per_article": """
+            SELECT n_name, o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            LEFT JOIN customer ON o_custkey = c_custkey
+            LEFT JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, o_orderstatus
+            ORDER BY n_orders DESC, n_name ASC, o_orderstatus ASC LIMIT 30
+        """,
+        "a9_density": """
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS n_suppliers,
+                   count(*) AS n_items,
+                   round(count(*) / CAST(count(DISTINCT l_suppkey) AS DOUBLE), 2)
+                     AS density
+            FROM lineitem GROUP BY l_orderkey
+            ORDER BY density DESC, l_orderkey ASC LIMIT 50
+        """,
+        "a10_answer_graph": """
+            WITH pairs AS (
+              SELECT a.l_suppkey AS s_from, b.l_suppkey AS s_to,
+                     a.l_orderkey AS okey
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_linenumber = b.l_linenumber + 1)
+            SELECT sa.s_name AS source, sb.s_name AS target,
+                   count(*) AS weight, count(DISTINCT okey) AS n_threads
+            FROM pairs
+            JOIN supplier sa ON s_from = sa.s_suppkey
+            JOIN supplier sb ON s_to = sb.s_suppkey
+            GROUP BY sa.s_name, sb.s_name
+            HAVING count(*) >= 3
+            ORDER BY source, target
+        """,
+        "a11_cooccurrence": """
+            SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+                   count(DISTINCT a.l_orderkey) AS weight
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+            GROUP BY a.l_suppkey, b.l_suppkey
+            HAVING count(DISTINCT a.l_orderkey) >= 5
+            ORDER BY supp_a, supp_b
+        """,
+        "a12_leaderboard": """
+            SELECT c_custkey, c_name, count(*) AS cnt
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY cnt DESC, c_custkey ASC LIMIT 30
+        """,
+        "a13_filtered_count": """
+            SELECT count(*) AS n_positive FROM customer
+            WHERE c_acctbal IS NOT NULL AND c_acctbal > 0
+        """,
+        "a14_concomitance": """
+            WITH top3 AS (
+              SELECT l_suppkey AS sk FROM lineitem GROUP BY l_suppkey
+              ORDER BY count(*) DESC, l_suppkey ASC LIMIT 3),
+            pres AS (
+              SELECT DISTINCT sk, l_orderkey AS okey
+              FROM lineitem JOIN top3 ON l_suppkey = sk),
+            pboth AS (
+              SELECT p1.sk AS s1, p2.sk AS s2, count(*) AS n_both
+              FROM pres p1 JOIN pres p2
+                ON p1.okey = p2.okey AND p1.sk < p2.sk
+              GROUP BY p1.sk, p2.sk),
+            totals AS (SELECT sk, count(*) AS n_total FROM pres GROUP BY sk)
+            SELECT t1.sk AS s1, t2.sk AS s2,
+                   coalesce(n_both, 0) AS n_both,
+                   t1.n_total - coalesce(n_both, 0) AS only_s1,
+                   t2.n_total - coalesce(n_both, 0) AS only_s2
+            FROM totals t1 CROSS JOIN totals t2
+            LEFT JOIN pboth ON t1.sk = pboth.s1 AND t2.sk = pboth.s2
+            WHERE t1.sk < t2.sk
+            ORDER BY s1, s2
+        """,
+        "a15_set_ops": f"""
+            WITH {_URLS_CTE.strip()},
+            seen AS (SELECT url FROM urls WHERE is_seen),
+            unseen AS (SELECT url FROM urls WHERE NOT is_seen),
+            sample AS (SELECT url FROM urls WHERE doc_id % 2 = 0)
+            SELECT
+              (SELECT count(*) FROM (SELECT DISTINCT url FROM (SELECT url FROM seen UNION ALL SELECT url FROM unseen))) AS n_union,
+              (SELECT count(*) FROM (SELECT url FROM sample INTERSECT SELECT url FROM seen)) AS n_intersect,
+              (SELECT count(*) FROM (SELECT url FROM sample EXCEPT SELECT url FROM seen)) AS n_except,
+              (SELECT count(DISTINCT host) FROM urls) AS n_hosts
+        """,
+        "c1_due_set": f"""
+            WITH {_URLS_CTE.strip()},
+            ranked AS (
+              SELECT url, host, discovery_epoch, seq,
+                     CAST(row_number() OVER (PARTITION BY host
+                                        ORDER BY discovery_epoch, seq) AS INT) AS rn
+              FROM urls WHERE NOT is_seen)
+            SELECT url, host, discovery_epoch, seq, rn FROM ranked WHERE rn <= 2
+        """,
+        "c3_frontier_merge_fifo": f"""
+            WITH {_URLS_CTE.strip()},
+            disc AS (
+              SELECT 'https://t.example.test/x/' || CAST(doc_id % 37 AS VARCHAR) AS target,
+                     CAST(doc_id % 2 AS INT) AS epoch,
+                     seq,
+                     CAST(doc_id % 13 AS INT) AS pos
+              FROM urls WHERE doc_id < 300),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY target
+                                           ORDER BY epoch, seq, pos) AS rn
+              FROM disc)
+            SELECT target, epoch, seq, pos FROM ranked WHERE rn = 1
+        """,
+        "c5_unseen_bloom": f"""
+            WITH {_URLS_CTE.strip()}
+            SELECT url FROM urls
+            WHERE doc_id % 2 = 0
+              AND url NOT IN (SELECT url FROM urls WHERE is_seen)
+        """,
+        "c9_politeness_queue": f"""
+            WITH {_URLS_CTE.strip()},
+            ranked AS (
+              SELECT url, host, priority, seq,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY priority, seq) AS rn
+              FROM urls WHERE NOT is_seen)
+            SELECT url, host, priority, seq FROM ranked WHERE rn <= 1
+            ORDER BY priority, seq LIMIT 20
+        """,
+        "c12_thread_propagation": """
+            WITH RECURSIVE c AS (
+              SELECT 'c' || CAST(event_id AS VARCHAR) AS id,
+                     CASE WHEN event_id % 5 = 0 THEN NULL
+                          WHEN event_id % 97 = 3 THEN 'missing-' || CAST(event_id AS VARCHAR)
+                          ELSE 'c' || CAST(event_id - 1 AS VARCHAR) END AS parent
+              FROM events
+            ), t(id, thread, depth) AS (
+              SELECT id, id, 0 FROM c WHERE parent IS NULL
+              UNION ALL
+              SELECT c.id, t.thread, t.depth + 1 FROM c JOIN t ON c.parent = t.id
+            )
+            SELECT c.id, t.thread, CAST(t.depth AS INT) AS depth
+            FROM c LEFT JOIN t ON c.id = t.id
+        """,
+        "u1_url_scalars": f"""
+            WITH {_URLS_CTE.strip()}
+            SELECT url,
+                   regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS domain,
+                   CASE WHEN position('?' IN url) > 0
+                        THEN substr(url, 1, position('?' IN url) - 1)
+                        ELSE url END AS no_query,
+                   CASE WHEN position('#' IN url) > 0
+                        THEN substr(url, 1, position('#' IN url) - 1)
+                        ELSE url END AS no_frag,
+                   CASE WHEN position('#' IN url) > 0
+                        THEN list_extract(string_split(url, '#'),
+                                          len(string_split(url, '#')))
+                        ELSE url END AS frag_or_url
+            FROM urls WHERE doc_id < 200
+        """,
+        "d1_exact_dedup": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc,
+                   count(*) AS n_docs
+            FROM documents GROUP BY md5(text)
+        """,
+        "d2_minhash_lsh": f"""
+            WITH {_SHINGLES3.strip()},
+            buckets AS (
+              SELECT doc_id, b.band,
+                     min(md5(CAST(b.band AS VARCHAR) || '|' || shingle)) AS bucket
+              FROM sh2, (SELECT unnest(range(4)) AS band) b
+              GROUP BY doc_id, b.band)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        """,
+        "d3_ngram_jaccard": f"""
+            WITH {_SHINGLES3.strip()},
+            buckets AS (
+              SELECT doc_id, b.band,
+                     min(md5(CAST(b.band AS VARCHAR) || '|' || shingle)) AS bucket
+              FROM sh2, (SELECT unnest(range(4)) AS band) b
+              GROUP BY doc_id, b.band),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM buckets a JOIN buckets b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+            sets AS (
+              SELECT doc_id, list(DISTINCT shingle) AS sh_set
+              FROM sh2 GROUP BY doc_id)
+            SELECT doc_a, doc_b, jaccard FROM (
+              SELECT doc_a, doc_b,
+                     round(CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE) /
+                           (len(sa.sh_set) + len(sb.sh_set)
+                            - len(list_intersect(sa.sh_set, sb.sh_set))), 5) AS jaccard
+              FROM cands
+              JOIN sets sa ON doc_a = sa.doc_id
+              JOIN sets sb ON doc_b = sb.doc_id)
+            WHERE jaccard >= 0.02
+        """,
+        "s1_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings WHERE vec_id < 10),
+            sims AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.emb,
+                           CAST(e.embedding AS DOUBLE[])), 4) AS cos
+              FROM q JOIN embeddings e ON e.vec_id != q.vec_id),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk
+              FROM sims)
+            SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
+        """,
+        "t1_quality_scores": """
+            SELECT doc_id,
+                   CAST(len(text) AS INT) AS n_chars,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                   round((len(text) - len(string_split(text, ' ')) + 1)
+                         / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+                     AS mean_token_len,
+                   round(len(list_distinct(string_split(text, ' ')))
+                         / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+                     AS distinct_ratio,
+                   CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                            ['the','a','of','and','to','in','is'])) AS INT)
+                     AS n_stopword_types
+            FROM documents
+        """,
+        "t2_token_counts": """
+            SELECT tok, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+            GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 20
+        """,
+        "t3_fingerprints": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+                         || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w
+                       AS shingle
+              FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+            SELECT doc_id, min(md5(shingle)) AS fingerprint,
+                   count(*) AS n_windows
+            FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id
+        """,
+        "t4_language_guess": """
+            SELECT doc_id, lang,
+                   CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                        ['the','a','of','and','to','in','is'])) AS INT) AS marker_hits,
+                   round(len(list_intersect(list_distinct(string_split(text, ' ')),
+                         ['the','a','of','and','to','in','is']))
+                         / CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE), 4)
+                     AS marker_ratio,
+                   len(list_intersect(list_distinct(string_split(text, ' ')),
+                       ['the','a','of','and','to','in','is'])) >= 2 AS looks_english
+            FROM documents
+        """,
+    }

@@ -1,0 +1,611 @@
+"""The epoch-loop crawl driver (C13; SURVEY.md §3.1).
+
+The reference's per-URL tail recursion
+(/root/reference/src/Network/Scrapetition/App.hs:38-69) becomes a
+driver loop over set-oriented Spark jobs. One epoch =
+
+    due-set plan (politeness window over host-partitioned frontier)
+    → fetch join against the documents table (the synthetic web;
+      a real deployment swaps this stage for an async-HTTP
+      mapInPandas source)
+    → vectorized parse (parse/kernel.py)
+    → dispatcher gating + metadata enrichment (C8, C11)
+    → MERGE sinks for items/urls/edges (S6-S8)
+    → frontier merge with FIFO/LIFO union semantics (C3/C4)
+    → seen-set append + bloom rebuild (C2)
+    → metrics + snapshot commit (exact resume)
+
+``cfg.sequential=True`` fetches exactly one URL per epoch, which
+reproduces the reference's crawl order bit-for-bit (verified against
+the pure-Python simulator in tests/reference_sim.py). Wide epochs
+(the scale path) preserve the same seen *set* and per-host order.
+
+Resume (≙ ``scrapetition -d``, app/Main.hs:247-250): the loop is a
+pure function of the catalog tables, and every write is an idempotent
+merge — restarting after any partial epoch converges to the same
+state (tested in tests/test_crawl.py).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scrapetition_spark.config import CrawlConfig
+from scrapetition_spark.functions.urls import host_bucket, url_domain, url_join
+from scrapetition_spark.parse import parse_pages
+from scrapetition_spark.plans.frontier import gate_discovered, plan_due
+from scrapetition_spark.plans.seen import BloomFilter
+from scrapetition_spark.schemas import (
+    ARTICLES,
+    COMMENTS,
+    CRAWL_METRICS,
+    UNIQUE_KEYS,
+    URL_EDGES,
+    URLS,
+    URLS_SEEN,
+    USERS,
+    VOTES,
+)
+from scrapetition_spark.sources.catalog import Catalog
+
+_URL_ORDER = ["source_fetch_seq", "dispatcher_idx", "pos"]
+
+
+def _domain_or(fallback: str) -> F.Column:
+    # domainT url fallback — note the reference's two distinct
+    # misspellings: "UNKOWN" (Comment.hs:112, Vote.hs:81) vs
+    # "UNKNOWN" (User.hs:87, Article.hs:88). Kept verbatim.
+    return F.coalesce(url_domain(F.col("url")), F.lit(fallback))
+
+
+@dataclass
+class EpochStats:
+    epoch: int
+    urls_due: int
+    urls_discovered: int
+    duration_ms: int
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        cfg: CrawlConfig,
+        documents: DataFrame,
+        robots: DataFrame | None = None,
+        use_bloom: bool = True,
+        expected_urls: int = 1 << 16,
+    ):
+        self.spark = spark
+        self.cat = catalog
+        self.cfg = cfg
+        self.documents = documents
+        self.robots = robots
+        self.bloom: BloomFilter | None = (
+            BloomFilter.empty(expected_urls, cfg.bloom_bits_per_key)
+            if use_bloom
+            else None
+        )
+        self.fetch_seq_base = 0
+
+    # ------------------------------------------------------------------ util
+
+    def _url_row(self, df: DataFrame, scheduled: bool) -> DataFrame:
+        """Project a (target/lineage) frame onto the urls schema."""
+        t = F.col("target")
+        return df.select(
+            t.alias("url"),
+            F.lit(None).cast("int").alias("status"),
+            F.lit(None).cast("string").alias("encoding"),
+            F.lit(None).cast("timestamp").alias("first_seen"),
+            F.lit(None).cast("timestamp").alias("last_seen"),
+            F.lit(None).cast("timestamp").alias("first_scraped"),
+            F.lit(None).cast("timestamp").alias("last_scraped"),
+            F.lit(self.cfg.scraper_name).alias("scraper"),
+            url_domain(t).alias("host"),
+            host_bucket(url_domain(t), self.cfg.n_host_buckets).alias("host_bucket"),
+            F.lit(None).cast("int").alias("depth"),
+            F.lit(1 if scheduled else 0).alias("in_frontier"),
+            F.col("discovery_epoch"),
+            F.col("source_fetch_seq"),
+            F.col("dispatcher_idx").cast("int"),
+            F.col("pos").cast("int"),
+        )
+
+    # ------------------------------------------------------------------ seed
+
+    def seed(self, urls: list[str]) -> None:
+        """≙ ``crawl (SingleUrl ...)`` (app/Main.hs:243-246): insert
+        seeds and schedule them. Seeds carry lineage epoch -1 so they
+        sort before (FIFO) / after (LIFO) every discovery."""
+        rows = [(u, i) for i, u in enumerate(urls)]
+        df = self.spark.createDataFrame(rows, ["target", "pos"]).select(
+            "target",
+            F.lit(-1).alias("discovery_epoch"),
+            F.lit(-1).cast("long").alias("source_fetch_seq"),
+            F.lit(-1).alias("dispatcher_idx"),
+            F.col("pos"),
+        )
+        self.cat.merge_insert(
+            "urls", self._url_row(df, scheduled=True), UNIQUE_KEYS["urls"], URLS,
+            order_cols=["pos"],
+        )
+
+    def seed_frame(self, targets: DataFrame) -> None:
+        """Distributed seeding: schedule a whole DataFrame of URLs
+        (column ``target``) — the 10^10-frontier bootstrap path; a
+        driver-side list would not scale."""
+        df = targets.select(
+            "target",
+            F.lit(-1).alias("discovery_epoch"),
+            F.lit(-1).cast("long").alias("source_fetch_seq"),
+            F.lit(-1).alias("dispatcher_idx"),
+            (F.row_number().over(Window.orderBy("target")) - 1).alias("pos"),
+        )
+        self.cat.merge_insert(
+            "urls", self._url_row(df, scheduled=True), UNIQUE_KEYS["urls"], URLS,
+            order_cols=["pos"],
+        )
+
+    def resume_not_seen(self) -> None:
+        """≙ ``crawl (NotSeenFromDB ...)`` (Main.hs:247-250; S11):
+        schedule every known URL with first_seen IS NULL."""
+        urls = self.cat.read("urls", URLS)
+        rescheduled = urls.withColumn(
+            "in_frontier",
+            F.when(F.col("first_seen").isNull(), F.lit(1)).otherwise("in_frontier"),
+        )
+        self.cat.overwrite("urls", rescheduled)
+
+    # ------------------------------------------------------------------ epoch
+
+    def run_epoch(self, epoch: int) -> EpochStats:
+        import os
+
+        t0 = time.time()
+        debug = os.environ.get("SPARK_GRAFT_DEBUG")
+        marks: list[tuple[str, float]] = []
+
+        def mark(label: str) -> None:
+            if debug:
+                marks.append((label, time.time() - t0))
+
+        cfg = self.cfg
+        urls = self.cat.read("urls", URLS)
+        seen = self.cat.read("urls_seen", URLS_SEEN)
+
+        due = plan_due(urls, seen, self.bloom, cfg, self.fetch_seq_base, self.robots)
+        due = due.select("url", "host", "host_bucket", "fetch_seq").localCheckpoint()
+        n_due = due.count()
+        mark("due")
+        if n_due == 0:
+            return EpochStats(epoch, 0, 0, int((time.time() - t0) * 1000))
+
+        # ---- fetch (S1): join the due set against the synthetic web.
+        # The due side is small (politeness-capped) → broadcast it so
+        # the documents scan streams map-side with no shuffle. URLs
+        # with no document behave like HTTP failures: status 404, no
+        # body, but still marked seen (App.hs:51-52 fetches and
+        # updates the seen date regardless of status).
+        docs = self.documents
+        hit = (
+            docs.join(F.broadcast(due), docs["doc_id"] == due["url"], "inner")
+            .select(
+                due["url"].alias("url"),
+                due["fetch_seq"],
+                docs["doc_id"],
+                docs["spans"],
+                F.coalesce(docs["status"], F.lit(200)).alias("status"),
+                docs["encoding"],
+            )
+            .localCheckpoint()  # one scan over documents per epoch
+        )
+        mark("fetch")
+        miss = (
+            due.join(F.broadcast(hit.select("url")), ["url"], "left_anti")
+            .select(
+                "url",
+                "fetch_seq",
+                F.col("url").alias("doc_id"),
+                F.lit(None).cast(docs.schema["spans"].dataType).alias("spans"),
+                F.lit(404).alias("status"),
+                F.lit(None).cast("string").alias("encoding"),
+            )
+        )
+        pages = hit.unionByName(miss)
+
+        # ---- parse (C10): every extraction in one declarative plan.
+        # comments feed four sinks (comments, contributors, votes,
+        # articles-from-comments): materialize once, reuse (reuse=True).
+        parsed = parse_pages(pages, reuse=True)
+        due_seq = due.select("url", "fetch_seq")
+
+        # S2: sniffed charset (meta content-type span) wins over the
+        # transport hint (Encoding.hs:16-41; stored by S9, URL.hs:18-25)
+        fetched = (
+            pages.select("url", "fetch_seq", "status", "encoding")
+            .join(
+                parsed.pages_meta.select(
+                    "url", F.col("encoding").alias("sniffed")
+                ),
+                ["url"],
+                "left",
+            )
+            .select(
+                "url",
+                "fetch_seq",
+                "status",
+                F.coalesce("sniffed", "encoding").alias("encoding"),
+            )
+        )
+
+        def with_seq(df: DataFrame) -> DataFrame:
+            return df.join(F.broadcast(due_seq), ["url"], "inner")
+
+        now = F.current_timestamp()
+        dispatchers = cfg.dispatchers
+
+        def gate(df: DataFrame, kinds: dict[str, int]) -> DataFrame:
+            """Dispatcher regex gating (C8) + dispatcher_idx stamp."""
+            out = None
+            for kind, idx in kinds.items():
+                d = dispatchers[idx]
+                part = df.filter(F.col("url").rlike(d.url_scheme)).withColumn(
+                    "dispatcher_idx", F.lit(idx)
+                )
+                out = part if out is None else out.unionByName(part)
+            return out
+
+        kind_idx = {d.item_kind: i for i, d in enumerate(dispatchers) if d.item_kind}
+
+        n_discovered = 0
+        sink_tasks: list[tuple] = []  # executed concurrently below
+        # ---- item sinks (S8) — insertion order (fetch_seq,
+        # dispatcher_idx, pos) ≙ the reference's sequential executeMany.
+        if "comment" in kind_idx:
+            comments = gate(with_seq(parsed.comments), {"comment": kind_idx["comment"]})
+            batch = comments.select(
+                "id",
+                _domain_or("UNKOWN").alias("domain"),
+                "text", "title", "user", "name", "date_informal", "date",
+                "parent", "thread", "up_votes", "down_votes", "article",
+                "url",
+                now.alias("first_scraped"), now.alias("last_scraped"),
+                F.lit(cfg.scraper_name).alias("scraper"),
+                "fetch_seq", "dispatcher_idx", "pos",
+            )
+            sink_tasks.append(
+                ("comments", batch, UNIQUE_KEYS["comments"], COMMENTS,
+                 ["fetch_seq", "dispatcher_idx", "pos"])
+            )
+
+        user_parts = []
+        if "user" in kind_idx:
+            user_parts.append(
+                gate(with_seq(parsed.users), {"user": kind_idx["user"]})
+            )
+        if "voter" in kind_idx:
+            user_parts.append(
+                gate(with_seq(parsed.voters), {"voter": kind_idx["voter"]})
+            )
+        if user_parts:
+            users = user_parts[0]
+            for p in user_parts[1:]:
+                users = users.unionByName(p)
+            batch = users.select(
+                "user",
+                _domain_or("UNKNOWN").alias("domain"),
+                "name", "url",
+                now.alias("first_scraped"), now.alias("last_scraped"),
+                F.lit(cfg.scraper_name).alias("scraper"),
+                "fetch_seq", "dispatcher_idx", "pos",
+            )
+            sink_tasks.append(
+                ("users", batch, UNIQUE_KEYS["users"], USERS,
+                 ["fetch_seq", "dispatcher_idx", "pos"])
+            )
+
+        if "vote" in kind_idx:
+            votes = gate(with_seq(parsed.votes), {"vote": kind_idx["vote"]})
+            batch = votes.select(
+                _domain_or("UNKOWN").alias("domain"),
+                "user", "comment", "vote", "url",
+                now.alias("first_scraped"), now.alias("last_scraped"),
+                F.lit(cfg.scraper_name).alias("scraper"),
+                "fetch_seq", "dispatcher_idx", "pos",
+            )
+            sink_tasks.append(
+                ("votes", batch, UNIQUE_KEYS["votes"], VOTES,
+                 ["fetch_seq", "dispatcher_idx", "pos"])
+            )
+
+        article_parts = []
+        for kind, frame in (
+            ("article", parsed.articles),
+            ("article_from_comment", parsed.articles_from_comments),
+            ("article_searched", parsed.articles_searched),
+        ):
+            if kind in kind_idx:
+                article_parts.append(gate(with_seq(frame), {kind: kind_idx[kind]}))
+        if article_parts:
+            arts = article_parts[0]
+            for p in article_parts[1:]:
+                arts = arts.unionByName(p)
+            batch = arts.select(
+                "canonical",
+                _domain_or("UNKNOWN").alias("domain"),
+                "title", "description", "author", "date", "url",
+                now.alias("first_scraped"), now.alias("last_scraped"),
+                F.lit(cfg.scraper_name).alias("scraper"),
+                "fetch_seq", "dispatcher_idx", "pos",
+            )
+            sink_tasks.append(
+                ("articles", batch, UNIQUE_KEYS["articles"], ARTICLES,
+                 ["fetch_seq", "dispatcher_idx", "pos"])
+            )
+
+        # ---- discovered URLs per dispatcher (C4): absolutize + nub
+        disc_parts = []
+        for idx, d in enumerate(dispatchers):
+            if not d.url_collectors:
+                continue
+            rank = F.lit(None)
+            for r, role in enumerate(d.url_collectors):
+                rank = F.when(F.col("role") == role, F.lit(r)).otherwise(rank)
+            part = (
+                with_seq(parsed.urls)
+                .filter(
+                    F.col("url").rlike(d.url_scheme)
+                    & F.col("role").isin(list(d.url_collectors))
+                )
+                .withColumn("dispatcher_idx", F.lit(idx))
+                .withColumn("collector_rank", rank)
+            )
+            disc_parts.append(part)
+
+        if disc_parts:
+            disc = disc_parts[0]
+            for p in disc_parts[1:]:
+                disc = disc.unionByName(p)
+            # mkAbsolute url (App.hs:83), then nub (first occurrence in
+            # jsLoader++pager concat order), then positions over the
+            # deduped list.
+            disc = disc.withColumn("abs_target", url_join(F.col("url"), F.col("target")))
+            w_nub = Window.partitionBy("url", "dispatcher_idx", "abs_target").orderBy(
+                "collector_rank", "offset"
+            )
+            w_pos = Window.partitionBy("url", "dispatcher_idx").orderBy(
+                "collector_rank", "offset"
+            )
+            disc = (
+                disc.withColumn("__rn", F.row_number().over(w_nub))
+                .filter(F.col("__rn") == 1)
+                .withColumn("pos", F.row_number().over(w_pos) - 1)
+                .select(
+                    F.col("url").alias("source"),
+                    F.col("fetch_seq").alias("source_fetch_seq"),
+                    "dispatcher_idx",
+                    "pos",
+                    F.col("abs_target").alias("target"),
+                )
+                .localCheckpoint()
+            )
+            n_discovered = disc.count()
+        else:
+            disc = None
+        mark("discovered")
+
+        urls_now = self.cat.read("urls", URLS)
+        if disc is not None and n_discovered > 0:
+            # S7: link-graph edges (dedup on (source,target), URL.hs:94)
+            edges = disc.select(
+                "source", "target",
+                now.alias("first_scraped"), now.alias("last_scraped"),
+                F.lit(cfg.scraper_name).alias("scraper"),
+                "source_fetch_seq", "dispatcher_idx", "pos",
+            )
+            sink_tasks.append(
+                ("url_edges", edges, UNIQUE_KEYS["url_edges"], URL_EDGES, _URL_ORDER)
+            )
+
+            # follow gates + within-epoch union dedup → frontier rows
+            followed = gate_discovered(
+                disc.withColumn("discovery_epoch", F.lit(epoch)), cfg
+            )
+        else:
+            followed = None
+
+        seen_batch = fetched.select(
+            "url",
+            url_domain(F.col("url")).alias("host"),
+            "fetch_seq",
+            F.lit(epoch).alias("epoch"),
+            F.coalesce(F.col("status"), F.lit(404)).alias("status"),
+            "encoding",
+        ).select(*[f.name for f in URLS_SEEN.fields])
+
+        # ---- execute the independent writes concurrently (each hits
+        # its own table; Spark schedules the jobs in parallel). The
+        # urls-table rewrite (S6 inserts + S9 seen-update + C3 merge —
+        # one MERGE INTO with two WHEN clauses on Iceberg), the
+        # seen-set append (C2) and the bloom fold-in join the pool.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _bloom_task():
+            if self.bloom is not None:
+                self.bloom = self.bloom.build_from(due.select("url"))
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            futs = [
+                pool.submit(
+                    self.cat.merge_insert, tbl, batch, keys, schema, order
+                )
+                for tbl, batch, keys, schema, order in sink_tasks
+            ]
+            futs.append(
+                pool.submit(self._rewrite_urls, urls_now, fetched, disc, followed, epoch)
+            )
+            futs.append(pool.submit(self.cat.append, "urls_seen", seen_batch))
+            futs.append(pool.submit(_bloom_task))
+            for f in futs:
+                f.result()  # propagate failures
+        mark("sinks")
+
+        self.fetch_seq_base += n_due
+        dur = int((time.time() - t0) * 1000)
+        if debug:
+            print(f"[epoch {epoch}] due={n_due} " +
+                  " ".join(f"{l}={s:.1f}s" for l, s in marks), flush=True)
+        metrics = self.spark.createDataFrame(
+            [(epoch, n_due, n_due, n_discovered, None, dur, self.cat.head("urls_seen"))],
+            CRAWL_METRICS,
+        )
+        self.cat.append("crawl_metrics", metrics)
+        return EpochStats(epoch, n_due, n_discovered, dur)
+
+    def _rewrite_urls(
+        self,
+        urls: DataFrame,
+        fetched: DataFrame,
+        disc: DataFrame | None,
+        followed: DataFrame | None,
+        epoch: int,
+    ) -> None:
+        now = F.current_timestamp()
+        cfg = self.cfg
+
+        # S6: discovered URLs always inserted (App.hs:89-90), even when
+        # not followed (C6) or cross-domain (C7). First occurrence wins.
+        if disc is not None:
+            w = Window.partitionBy("target").orderBy(*_URL_ORDER)
+            first_disc = (
+                disc.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .withColumn("discovery_epoch", F.lit(epoch))
+            )
+            inserts = self._url_row(first_disc, scheduled=False)
+        else:
+            inserts = None
+
+        f = fetched.select(
+            F.col("url").alias("f_url"),
+            F.coalesce(F.col("status"), F.lit(404)).alias("f_status"),
+            F.col("encoding").alias("f_encoding"),
+        )
+        t = urls.alias("t")
+        merged = t.join(F.broadcast(f), F.col("t.url") == F.col("f_url"), "left_outer")
+
+        if followed is not None:
+            fo = followed.select(
+                F.col("target").alias("m_url"),
+                F.col("discovery_epoch").alias("m_epoch"),
+                F.col("source_fetch_seq").alias("m_seq"),
+                F.col("dispatcher_idx").alias("m_didx"),
+                F.col("pos").alias("m_pos"),
+            )
+            merged = merged.join(
+                F.broadcast(fo), F.col("t.url") == F.col("m_url"), "left_outer"
+            )
+        else:
+            for c in ("m_url", "m_epoch", "m_seq", "m_didx", "m_pos"):
+                merged = merged.withColumn(
+                    c, F.lit(None).cast("long" if c in ("m_seq",) else "int")
+                    if c != "m_url"
+                    else F.lit(None).cast("string")
+                )
+
+        was_fetched = F.col("f_url").isNotNull()
+        # C3 merge policy: FIFO keeps the existing lineage; LIFO lets a
+        # re-discovery of a still-unfetched URL jump the queue.
+        mergeable = (
+            F.col("m_url").isNotNull()
+            & F.col("t.first_seen").isNull()
+            & ~was_fetched
+        )
+        adopt = mergeable & (
+            F.lit(cfg.lifo) | (F.col("t.in_frontier") == 0)
+        )
+        out = merged.select(
+            F.col("t.url").alias("url"),
+            F.when(was_fetched, F.col("f_status")).otherwise(F.col("t.status")).alias("status"),
+            F.when(was_fetched, F.col("f_encoding")).otherwise(F.col("t.encoding")).alias("encoding"),
+            # S9 (URL.hs:18-25): first_seen = coalesce(first_seen, now)
+            F.when(was_fetched, F.coalesce(F.col("t.first_seen"), now))
+            .otherwise(F.col("t.first_seen")).alias("first_seen"),
+            F.when(was_fetched, now).otherwise(F.col("t.last_seen")).alias("last_seen"),
+            F.col("t.first_scraped").alias("first_scraped"),
+            F.col("t.last_scraped").alias("last_scraped"),
+            F.col("t.scraper").alias("scraper"),
+            F.col("t.host").alias("host"),
+            F.col("t.host_bucket").alias("host_bucket"),
+            F.col("t.depth").alias("depth"),
+            F.when(adopt, F.lit(1)).otherwise(F.col("t.in_frontier")).alias("in_frontier"),
+            F.when(adopt, F.col("m_epoch")).otherwise(F.col("t.discovery_epoch")).alias("discovery_epoch"),
+            F.when(adopt, F.col("m_seq")).otherwise(F.col("t.source_fetch_seq")).alias("source_fetch_seq"),
+            F.when(adopt, F.col("m_didx")).otherwise(F.col("t.dispatcher_idx")).alias("dispatcher_idx"),
+            F.when(adopt, F.col("m_pos")).otherwise(F.col("t.pos")).alias("pos"),
+        )
+
+        if inserts is not None:
+            # brand-new rows (not in table): scheduled iff followed
+            ins = inserts.join(urls.select(F.col("url")), ["url"], "left_anti")
+            if followed is not None:
+                fo_keys = followed.select(
+                    F.col("target").alias("m_url"),
+                    F.col("discovery_epoch").alias("m_epoch"),
+                    F.col("source_fetch_seq").alias("m_seq"),
+                    F.col("dispatcher_idx").alias("m_didx"),
+                    F.col("pos").alias("m_pos"),
+                )
+                ins = ins.join(
+                    F.broadcast(fo_keys), ins["url"] == fo_keys["m_url"], "left_outer"
+                ).select(
+                    "url", "status", "encoding", "first_seen", "last_seen",
+                    "first_scraped", "last_scraped", "scraper", "host",
+                    "host_bucket", "depth",
+                    F.when(F.col("m_url").isNotNull(), F.lit(1))
+                    .otherwise(F.lit(0)).alias("in_frontier"),
+                    F.coalesce("m_epoch", "discovery_epoch").alias("discovery_epoch"),
+                    F.coalesce("m_seq", "source_fetch_seq").alias("source_fetch_seq"),
+                    F.coalesce("m_didx", "dispatcher_idx").alias("dispatcher_idx"),
+                    F.coalesce("m_pos", "pos").alias("pos"),
+                )
+            out = out.unionByName(ins.select(*[fld.name for fld in URLS.fields]))
+
+        self.cat.overwrite("urls", out.select(*[fld.name for fld in URLS.fields]))
+
+    # ------------------------------------------------------------------ run
+
+    def run(self, max_epochs: int | None = None, sleep: bool = False) -> list[EpochStats]:
+        """Run epochs until the due set is empty ("All URLs seen.",
+        App.hs:45-47) or max_epochs is hit. ``sleep=True`` enforces the
+        politeness budget in wall-clock (threadDelay ≙ App.hs:68)."""
+        stats: list[EpochStats] = []
+        epoch = 0
+        prev = self.cat.read("crawl_metrics", CRAWL_METRICS)
+        if prev.count() > 0:
+            epoch = int(prev.agg(F.max("epoch")).collect()[0][0]) + 1
+            self.fetch_seq_base = self.cat.read("urls_seen", URLS_SEEN).count()
+            if self.bloom is not None:
+                self.bloom = self.bloom.build_from(
+                    self.cat.read("urls_seen", URLS_SEEN).select("url")
+                )
+        while True:
+            t0 = time.time()
+            st = self.run_epoch(epoch)
+            if st.urls_due == 0:
+                break
+            stats.append(st)
+            if sleep and self.cfg.politeness_sec > 0:
+                remaining = self.cfg.politeness_sec - (time.time() - t0)
+                if remaining > 0:
+                    time.sleep(remaining)
+            epoch += 1
+            if max_epochs is not None and len(stats) >= max_epochs:
+                break
+        return stats

@@ -39,6 +39,35 @@ _SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?(\[[^\]]*\]|[^/?#:@]*)"
 
 
+def domain_str(url: str | None) -> str | None:
+    """Pure-Python U1 (single value) — same regex as the vectorized
+    kernel; used by the test-oracle simulator."""
+    import re
+
+    if url is None:
+        return None
+    m = re.match(_HOST_RE, url)
+    if not m or not m.group(1):
+        return None
+    return m.group(1).lower()
+
+
+def mk_absolute_str(base: str | None, path: str | None) -> str | None:
+    """Pure-Python U2 (single value), same branch logic as the kernel."""
+    import re
+
+    if path is None:
+        return None
+    if re.match(_SCHEME_RE, path):
+        return path
+    if base is None or not re.match(_SCHEME_RE, base):
+        return path
+    try:
+        return urljoin(base, path)
+    except ValueError:
+        return path
+
+
 def _domain_series(urls: pd.Series) -> pd.Series:
     """Vectorized U1: host of an absolute URI, else <NA>.
 

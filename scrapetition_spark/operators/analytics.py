@@ -1,0 +1,250 @@
+"""The downstream analytics query surface (SURVEY.md §2.5, A5-A15).
+
+Each function mirrors the *operator shape* of one reference query
+(utils/abfragen-sqlite.org, utils/abfragen-pg.org, utils/answers.sql,
+utils/cooccurence.sql, notes.org) over the driver's TPC-H-ish tables;
+the reference's comment/user/thread roles map onto
+order/customer/supplier/lineitem. Every aggregate is aliased
+identically in the DuckDB oracle (__spark_entry__.oracle_sql).
+
+Top-k queries carry explicit deterministic tie-breaks — LIMIT with
+ties is undefined in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def a5_counts_per_domain(lineitem, orders, customer, nation) -> DataFrame:
+    """A5 (abfragen-sqlite.org:28-31): group-by + count + count
+    distinct — items/orders/customers per nation (≙ per domain)."""
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def a6_avg_items_per_order(lineitem) -> DataFrame:
+    """A6 (abfragen-sqlite.org:35-38): CTE + avg of per-group counts."""
+    per_order = lineitem.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_order.agg(
+        F.round(F.avg("cnt"), 4).alias("avg_items"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def a7_top_visited(lineitem, orders) -> DataFrame:
+    """A7 (abfragen-sqlite.org:42-44): join + group + ORDER BY cnt
+    DESC LIMIT 30 (tie-break on key)."""
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy(F.col("cnt").desc(), F.col("o_orderkey").asc())
+        .limit(30)
+    )
+
+
+def a8_threads_per_article(orders, customer, nation) -> DataFrame:
+    """A8 (abfragen-sqlite.org:62-69): left join + 2-key group +
+    top-k."""
+    return (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .groupBy("n_name", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy(F.col("n_orders").desc(), F.col("n_name").asc(), F.col("o_orderstatus").asc())
+        .limit(30)
+    )
+
+
+def a9_density(lineitem) -> DataFrame:
+    """A9 "Dichte" (abfragen-sqlite.org:83-92): per-thread users vs
+    comments ratio ≙ per-order suppliers vs items."""
+    return (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "l_orderkey",
+            "n_suppliers",
+            "n_items",
+            F.round(F.col("n_items") / F.col("n_suppliers").cast("double"), 2).alias(
+                "density"
+            ),
+        )
+        .orderBy(F.col("density").desc(), F.col("l_orderkey").asc())
+        .limit(50)
+    )
+
+
+def a10_answer_graph(lineitem, supplier) -> DataFrame:
+    """A10 (utils/answers.sql:10-14): self-join child.parent =
+    parent.id → weighted edge list. Here: consecutive line numbers of
+    the same order link their suppliers."""
+    a, b = lineitem.alias("a"), lineitem.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") == F.col("b.l_linenumber") + 1),
+    ).select(
+        F.col("a.l_suppkey").alias("s_from"),
+        F.col("b.l_suppkey").alias("s_to"),
+        F.col("a.l_orderkey").alias("okey"),
+    )
+    sa = supplier.select(F.col("s_suppkey").alias("k1"), F.col("s_name").alias("source"))
+    sb = supplier.select(F.col("s_suppkey").alias("k2"), F.col("s_name").alias("target"))
+    return (
+        pairs.join(sa, F.col("s_from") == F.col("k1"))
+        .join(sb, F.col("s_to") == F.col("k2"))
+        .groupBy("source", "target")
+        .agg(F.count(F.lit(1)).alias("weight"), F.countDistinct("okey").alias("n_threads"))
+        .filter(F.col("weight") >= 3)
+        .orderBy("source", "target")
+    )
+
+
+def a11_cooccurrence(lineitem) -> DataFrame:
+    """A11 (utils/cooccurence.sql:10-14): same-thread co-occurrence
+    with a != b, weight = count(DISTINCT thread)."""
+    a, b = lineitem.alias("a"), lineitem.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("supp_a"), F.col("b.l_suppkey").alias("supp_b")
+        )
+        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("weight"))
+        .filter(F.col("weight") >= 5)
+        .orderBy("supp_a", "supp_b")
+    )
+
+
+def a12_leaderboard(orders, customer) -> DataFrame:
+    """A12 (abfragen-sqlite.org:113-116): per-user comment counts,
+    ORDER BY cnt DESC LIMIT 30."""
+    return (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("c_custkey").asc())
+        .limit(30)
+    )
+
+
+def a13_filtered_count(customer) -> DataFrame:
+    """A13 (abfragen-sqlite.org:105-107): filtered count."""
+    return customer.filter(
+        F.col("c_acctbal").isNotNull() & (F.col("c_acctbal") > 0)
+    ).agg(F.count(F.lit(1)).alias("n_positive"))
+
+
+def a14_concomitance(lineitem) -> DataFrame:
+    """A14 (abfragen-pg.org:211-286): apriori/aposteriori pair
+    presence — for the top-3 suppliers, orders containing both vs
+    either member of each pair. Multi-CTE cross/outer-join chain."""
+    top = (
+        lineitem.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("l_suppkey").asc())
+        .limit(3)
+        .select(F.col("l_suppkey").alias("sk"))
+    )
+    pres = (
+        lineitem.join(F.broadcast(top), F.col("l_suppkey") == F.col("sk"))
+        .select(F.col("sk"), F.col("l_orderkey").alias("okey"))
+        .distinct()
+    )
+    p1 = pres.select(F.col("sk").alias("s1"), "okey")
+    p2 = pres.select(F.col("sk").alias("s2"), F.col("okey").alias("okey2"))
+    both = (
+        p1.join(p2, (F.col("okey") == F.col("okey2")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    totals = pres.groupBy("sk").agg(F.count(F.lit(1)).alias("n_total"))
+    t1 = totals.select(F.col("sk").alias("s1"), F.col("n_total").alias("n_s1"))
+    t2 = totals.select(F.col("sk").alias("s2"), F.col("n_total").alias("n_s2"))
+    pairs = (
+        t1.crossJoin(t2)
+        .filter(F.col("s1") < F.col("s2"))
+        .join(both, ["s1", "s2"], "left")
+    )
+    return pairs.select(
+        "s1",
+        "s2",
+        F.coalesce("n_both", F.lit(0)).alias("n_both"),
+        (F.col("n_s1") - F.coalesce("n_both", F.lit(0))).alias("only_s1"),
+        (F.col("n_s2") - F.coalesce("n_both", F.lit(0))).alias("only_s2"),
+    ).orderBy("s1", "s2")
+
+
+def a15_set_ops(urls_frame: DataFrame) -> DataFrame:
+    """A15 (App.hs:59-69 frontier algebra as queries): union /
+    intersect / except / distinct over the seen vs unseen URL sets."""
+    seen = urls_frame.filter(F.col("is_seen")).select("url")
+    unseen_ = urls_frame.filter(~F.col("is_seen")).select("url")
+    sample = urls_frame.filter(F.col("doc_id") % 2 == 0).select("url")
+    n_union = seen.union(unseen_).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    n_inter = sample.intersect(seen).agg(F.count(F.lit(1)).alias("n_intersect"))
+    n_exc = sample.exceptAll(seen).agg(F.count(F.lit(1)).alias("n_except"))
+    n_hosts = urls_frame.select("host").distinct().agg(
+        F.count(F.lit(1)).alias("n_hosts")
+    )
+    return n_union.crossJoin(n_inter).crossJoin(n_exc).crossJoin(n_hosts)
+
+
+def a3_graph_bfs(orders, lineitem, start_custkey: int = 1, max_depth: int = 2) -> DataFrame:
+    """A3 (notes.org:28-35): URL-graph BFS with depth counter —
+    customer → orders → parts as the edge set; returns node counts
+    per depth (count(*) where depth = 2 in the reference). Iterative
+    join loop ≙ the recursive CTE."""
+    edges = (
+        orders.select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("dst"),
+        )
+        .unionByName(
+            lineitem.select(
+                F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+            )
+        )
+        .distinct()
+    )
+    spark = orders.sparkSession
+    frontier = spark.createDataFrame(
+        [(f"c{start_custkey}", 0)], "node string, depth int"
+    )
+    visited = frontier
+    for d in range(1, max_depth + 1):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"), F.lit(d).alias("depth"))
+            .distinct()
+            .join(visited.select("node"), ["node"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.groupBy("depth").agg(F.count(F.lit(1)).alias("n_nodes")).orderBy("depth")

@@ -1,0 +1,140 @@
+"""Similarity search over the embeddings table (array<float>).
+
+- ``cosine_topk``: brute-force cosine top-k — the exactness baseline.
+  Dot products via ``F.zip_with`` + ``F.aggregate`` (JVM higher-order
+  functions, no Python). The query side is broadcast; the corpus scan
+  streams — at 100 TB this is one pass over the corpus per query
+  batch, embarrassingly parallel.
+- ``ann_lsh_topk``: random-hyperplane LSH (sign sketch) — the scale
+  path. Hyperplanes are derived deterministically from xxhash64 so
+  both sides of the bucket join compute identical keys without a
+  stored model; candidates = same-bucket pairs, verified by exact
+  cosine. Probing multiple tables trades recall for join fan-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact top-k neighbors for the query set (brute force).
+    Cosine is rounded before ranking so the ordering is reproducible
+    across engines/float paths; ties break on neighbor_id."""
+    from pyspark.sql import Window
+
+    q = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    if query_ids is not None:
+        q = q.filter(F.col("query_id").isin(query_ids))
+    sims = (
+        embeddings.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), round_to).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+def lsh_sketch(embeddings: DataFrame, n_planes: int = 16, seed: int = 7) -> DataFrame:
+    """Sign sketch: bit i = sign(dot(v, plane_i)), planes derived from
+    xxhash64(i, j, seed) mapped to [-0.5, 0.5) per dimension — fully
+    deterministic, computed inline (no stored model)."""
+    dim = F.size("embedding")
+    emb = F.col("embedding")
+
+    def plane_component(i: int, j: Column) -> Column:
+        h = F.xxhash64(F.lit(i), j, F.lit(seed))
+        return (F.pmod(h, F.lit(10_000)).cast("double") / 10_000.0) - 0.5
+
+    bits = []
+    for i in range(n_planes):
+        dot_i = F.aggregate(
+            F.zip_with(
+                emb,
+                F.sequence(F.lit(0), dim - 1),
+                lambda x, j: x.cast("double") * plane_component(i, j),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot_i >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sketch = bits[0]
+    for b in bits[1:]:
+        sketch = sketch + b
+    return embeddings.select("vec_id", "embedding", sketch.alias("sketch"))
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: union of ``n_tables`` independent sign
+    sketches (different seeds), candidates = sketch-equal pairs,
+    exact cosine on the candidates only."""
+    from pyspark.sql import Window
+
+    cands = None
+    for t in range(n_tables):
+        sk = lsh_sketch(embeddings, n_planes, seed=7 + t)
+        q = sk.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("sketch").alias("q_sketch"),
+        )
+        c = sk.join(
+            F.broadcast(q),
+            (F.col("sketch") == F.col("q_sketch"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select("query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "embedding")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+    sims = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), round_to).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )

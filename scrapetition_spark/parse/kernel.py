@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from scrapetition_spark import spans as SP
@@ -43,29 +43,63 @@ from scrapetition_spark.functions.urls import (
 DATETIME_FMT = "yyyy-MM-dd'T'HH:mm:ssXXX"
 
 
-def explode_spans(pages: DataFrame) -> DataFrame:
+def explode_spans(pages: DataFrame, with_groups: bool = False) -> DataFrame:
     """documents(url, spans, status, ...) → long frame
-    (url, kind, text, media_ref, offset, role, payload).
+    (url, kind, text, media_ref, offset, role, payload[, cseq, tseq]).
 
     Pages with status >= 400 have no body (App.hs:119-121) and are
     dropped before the explode. Spans are processed strictly in
     ``offset`` order downstream.
+
+    ``with_groups=True`` adds the comment/teaser group counters
+    (cseq/tseq: how many ``comment`` / teaser-link markers occur at or
+    before each span). They are computed *inside the span array*
+    (nested higher-order functions) — O(n²) per page on n ≈ tens of
+    spans, zero shuffle — instead of a cluster-wide cumulative-sum
+    window over the exploded frame, which at crawl scale would shuffle
+    every span twice. Pathologically long pages (n ≫ 10³ spans) would
+    prefer the window form; crawl pages are short.
     """
     body_ok = F.col("status").isNull() | (F.col("status") < 400)
-    s = (
-        pages.filter(body_ok)
-        .select(
-            F.col("doc_id").alias("url"),
-            F.explode("spans").alias("s"),
+    pages = pages.filter(body_ok)
+    c_marker = SP.ROLE_COMMENT + SP.SEP
+    t_marker = SP.ROLE_TEASER_LINK + SP.SEP
+
+    if with_groups:
+        def count_before(marker: str, x):
+            return F.size(
+                F.filter(
+                    F.col("spans"),
+                    lambda y: y["text"].startswith(marker)
+                    & (y["offset"] <= x["offset"]),
+                )
+            )
+
+        spans = F.transform(
+            "spans",
+            lambda x: F.struct(
+                x["kind"].alias("kind"),
+                x["text"].alias("text"),
+                x["media_ref"].alias("media_ref"),
+                x["offset"].alias("offset"),
+                count_before(c_marker, x).alias("cseq"),
+                count_before(t_marker, x).alias("tseq"),
+            ),
         )
-        .select(
-            "url",
-            F.col("s.kind").alias("kind"),
-            F.col("s.text").alias("text"),
-            F.col("s.media_ref").alias("media_ref"),
-            F.col("s.offset").alias("offset"),
-        )
-    )
+    else:
+        spans = F.col("spans")
+
+    s = pages.select(F.col("doc_id").alias("url"), F.explode(spans).alias("s"))
+    cols = [
+        "url",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    ]
+    if with_groups:
+        cols += [F.col("s.cseq").alias("cseq"), F.col("s.tseq").alias("tseq")]
+    s = s.select(*cols)
     role = F.substring_index("text", SP.SEP, 1)
     payload = F.expr(
         f"substring(text, length(substring_index(text, '{SP.SEP}', 1)) + 2)"
@@ -89,22 +123,22 @@ class ParseResult:
     articles_searched: DataFrame  # search teasers (P5)
     articles_from_comments: DataFrame  # canonical-only articles (P6)
     urls: DataFrame  # (url, role, target, offset) per collector (P1, P10)
+    pages_meta: DataFrame  # (url, encoding) — S2 sniff (Encoding.hs:16-41)
 
 
-def parse_pages(pages: DataFrame) -> ParseResult:
+def parse_pages(pages: DataFrame, reuse: bool = False) -> ParseResult:
     """Run the full extraction plan. Dispatcher regex gating (C8) is
     applied later by the crawl layer — this kernel extracts every
-    role; gating is a cheap filter on the small result frames."""
-    s = explode_spans(pages)
+    role; gating is a cheap filter on the small result frames.
 
-    w = Window.partitionBy("url").orderBy("offset")
-    in_comment = F.sum(
-        F.when(F.col("role") == SP.ROLE_COMMENT, 1).otherwise(0)
-    ).over(w)
-    in_teaser = F.sum(
-        F.when(F.col("role") == SP.ROLE_TEASER_LINK, 1).otherwise(0)
-    ).over(w)
-    s = s.withColumn("cseq", in_comment).withColumn("tseq", in_teaser)
+    ``reuse=True`` materializes the comments frame (localCheckpoint)
+    before the four frames derived from it — one window+aggregate
+    execution instead of four when several sinks consume the result.
+    """
+    # grouped view for comment/teaser assembly; plain view (no n²
+    # group counters) for page-level aggregates and URL collectors
+    s = explode_spans(pages, with_groups=True)
+    sp = explode_spans(pages)
 
     # ---- comments (P2; ZeitDe.hs:125-172) --------------------------------
     c = (
@@ -187,6 +221,9 @@ def parse_pages(pages: DataFrame) -> ParseResult:
         )
     )
 
+    if reuse:
+        comments = comments.localCheckpoint()
+
     # ---- users = contributors (P3; User.hs:57-61): user id required ----
     users = comments.filter(F.col("user").isNotNull()).select(
         "url", "pos", F.col("user"), F.col("name")
@@ -205,12 +242,24 @@ def parse_pages(pages: DataFrame) -> ParseResult:
     )
 
     # ---- articles from page head (P4; ZeitDe.hs:191-214) ---------------
-    a = s.groupBy("url").agg(
+    a = sp.groupBy("url").agg(
         _grp(SP.ROLE_CANONICAL, "media_ref").alias("canonical"),
         _grp(SP.ROLE_TITLE).alias("title_raw"),
         _grp(SP.ROLE_DESCRIPTION).alias("description"),
         _grp(SP.ROLE_BYLINE).alias("author"),
         _grp(SP.ROLE_META_DATE).alias("date_raw"),
+        _grp(SP.ROLE_CONTENT_TYPE).alias("content_type"),
+    )
+    # S2 encoding sniff (Encoding.hs:16-41): charset from the meta
+    # content-type; null when absent (decoder then defaults to utf-8).
+    pages_meta = a.select(
+        "url",
+        F.lower(
+            F.regexp_extract("content_type", r"charset=([A-Za-z0-9_\-]+)", 1)
+        ).alias("enc_raw"),
+    ).select(
+        "url",
+        F.when(F.col("enc_raw") != "", F.col("enc_raw")).alias("encoding"),
     )
     articles = (
         # canonical, <title> and meta date are required selectors
@@ -299,7 +348,7 @@ def parse_pages(pages: DataFrame) -> ParseResult:
         SP.ROLE_ANCHOR,
     ]
     urls = (
-        s.filter(F.col("role").isin(collector_roles) & m.isNotNull())
+        sp.filter(F.col("role").isin(collector_roles) & m.isNotNull())
         # generic anchors pass the hygiene filter (Generic.hs:45-52);
         # applied to the raw href before fragment-dropping.
         .filter(
@@ -317,4 +366,5 @@ def parse_pages(pages: DataFrame) -> ParseResult:
         articles_searched=articles_searched,
         articles_from_comments=articles_from_comments,
         urls=urls,
+        pages_meta=pages_meta,
     )

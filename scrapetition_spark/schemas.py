@@ -61,10 +61,24 @@ URLS = StructType(
         StructField("host", StringType(), True),
         StructField("host_bucket", IntegerType(), True),
         StructField("depth", IntegerType(), True),
+        StructField("in_frontier", IntegerType(), True),  # 1 = scheduled
         StructField("discovery_epoch", IntegerType(), True),
         StructField("source_fetch_seq", LongType(), True),
         StructField("dispatcher_idx", IntegerType(), True),
         StructField("pos", IntegerType(), True),
+    ]
+)
+
+# urls_seen — append-only fetch log (C2); exact truth behind the bloom
+# sidecar. One row per fetch, fetch_seq is the global crawl order.
+URLS_SEEN = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("host", StringType(), True),
+        StructField("fetch_seq", LongType(), False),
+        StructField("epoch", IntegerType(), False),
+        StructField("status", IntegerType(), True),
+        StructField("encoding", StringType(), True),
     ]
 )
 
@@ -191,6 +205,7 @@ UNIQUE_KEYS: dict[str, list[str]] = {
 TABLE_SCHEMAS: dict[str, StructType] = {
     "documents": DOCUMENTS,
     "urls": URLS,
+    "urls_seen": URLS_SEEN,
     "url_edges": URL_EDGES,
     "comments": COMMENTS,
     "users": USERS,

@@ -1,0 +1,182 @@
+"""Snapshot-versioned table catalog with MERGE-style dedup writes.
+
+The reference persists to SQLite/PostgreSQL with ``INSERT OR IGNORE``
+/ ``ON CONFLICT DO NOTHING`` dedup (src/Network/Scrapetition/URL.hs:
+11-15, Sql.hs:19-105). The production design for this engine is an
+Iceberg catalog (``MERGE INTO ... WHEN NOT MATCHED THEN INSERT``,
+snapshot-per-epoch commits, time travel for resume). This sandbox has
+no Iceberg jars, so this module implements the same *contract* over
+parquet + JSON manifests:
+
+- a table = a data directory + numbered snapshot manifests listing
+  member parquet files (appends never rewrite existing files — same
+  as Iceberg manifest reuse, so N epochs cost O(new data), not
+  O(table) per epoch);
+- ``_HEAD`` points at the current snapshot (the epoch checkpoint);
+  reads at HEAD or at any snapshot id (resume/time travel);
+- ``merge_insert`` = MERGE WHEN NOT MATCHED INSERT: batch-internal
+  first-occurrence dedup + ``left_anti`` against the live table;
+- ``merge_update`` = MERGE WHEN MATCHED UPDATE (used by the seen-date
+  upsert S9): rewrites the table as a new snapshot. On Iceberg this
+  is a partition-scoped rewrite (frontier partitioned by
+  host_bucket); we note it and rewrite whole (tables are the hot,
+  small frontier — items tables only ever append).
+
+Every call site is written against this interface so swapping in a
+real Iceberg catalog is a one-class change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    files: list[str]
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ----- snapshot plumbing ------------------------------------------------
+
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _head_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_HEAD")
+
+    def head(self, table: str) -> int:
+        """Current snapshot id, -1 if the table has no snapshot yet."""
+        try:
+            with open(self._head_path(table)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def _snapshot(self, table: str, snapshot_id: int) -> Snapshot:
+        with open(os.path.join(self._tdir(table), f"snap-{snapshot_id}.json")) as f:
+            return Snapshot(snapshot_id, json.load(f)["files"])
+
+    def _commit(self, table: str, files: list[str]) -> int:
+        sid = self.head(table) + 1
+        tdir = self._tdir(table)
+        os.makedirs(tdir, exist_ok=True)
+        with open(os.path.join(tdir, f"snap-{sid}.json"), "w") as f:
+            json.dump({"files": files}, f)
+        tmp = self._head_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(tmp, self._head_path(table))  # atomic pointer swap
+        return sid
+
+    def _write_files(self, table: str, df: DataFrame) -> list[str]:
+        """Write df as new parquet files inside the table's data dir;
+        returns their paths. Existing files are never touched."""
+        part = f"part-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self._tdir(table), "data", part)
+        df.write.mode("overwrite").parquet(out)
+        return [out]
+
+    # ----- public API -------------------------------------------------------
+
+    def exists(self, table: str) -> bool:
+        return self.head(table) >= 0
+
+    def read(
+        self, table: str, schema: StructType | None = None, snapshot: int | None = None
+    ) -> DataFrame:
+        sid = self.head(table) if snapshot is None else snapshot
+        if sid < 0 or not self._snapshot(table, sid).files:
+            if schema is None:
+                raise ValueError(f"table {table} does not exist and no schema given")
+            return self.spark.createDataFrame([], schema)
+        snap = self._snapshot(table, sid)
+        return self.spark.read.parquet(*snap.files)
+
+    def overwrite(self, table: str, df: DataFrame) -> int:
+        return self._commit(table, self._write_files(table, df))
+
+    def append(self, table: str, df: DataFrame) -> int:
+        prev: list[str] = []
+        if self.exists(table):
+            prev = self._snapshot(table, self.head(table)).files
+        return self._commit(table, prev + self._write_files(table, df))
+
+    def empty_commit(self, table: str) -> int:
+        """Advance the snapshot without data change (epoch with no
+        writes keeps snapshot ids aligned with epochs if desired)."""
+        prev = self._snapshot(table, self.head(table)).files if self.exists(table) else []
+        return self._commit(table, prev)
+
+    def merge_insert(
+        self,
+        table: str,
+        batch: DataFrame,
+        keys: list[str],
+        schema: StructType,
+        order_cols: list[str] | None = None,
+    ) -> int:
+        """MERGE ... WHEN NOT MATCHED THEN INSERT (≙ INSERT OR IGNORE,
+        Sql.hs:19-105). Batch-internal duplicates collapse to the
+        first occurrence in ``order_cols`` order (the reference's
+        insertion order ≙ executeMany sequencing); existing rows win.
+        """
+        cols = [f.name for f in schema.fields]
+        if order_cols:
+            w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_cols])
+            batch = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+            )
+        batch = batch.select(*cols).dropDuplicates(keys)
+        existing = self.read(table, schema)
+        # null-safe key comparison (eqNullSafe) — UNIQUE treats NULLs
+        # as distinct in SQLite, but our keys are never null in practice.
+        cond = [batch[k].eqNullSafe(existing[k]) for k in keys]
+        fresh = batch.join(existing, cond, "left_anti")
+        return self.append(table, fresh)
+
+    def merge_update(
+        self,
+        table: str,
+        updates: DataFrame,
+        keys: list[str],
+        schema: StructType,
+        set_exprs: dict[str, F.Column],
+    ) -> int:
+        """MERGE ... WHEN MATCHED THEN UPDATE: join the table with the
+        updates frame (aliased ``u``) and apply ``set_exprs`` to
+        matched rows. Unmatched update rows are ignored (the caller
+        inserts them separately if needed)."""
+        current = self.read(table, schema).alias("t")
+        upd = updates.alias("u")
+        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}")) for k in keys]
+        matched = F.col(f"u.{keys[0]}").isNotNull()
+        joined = current.join(upd, cond, "left_outer")
+        out_cols = []
+        for f in schema.fields:
+            base = F.col(f"t.{f.name}")
+            if f.name in set_exprs:
+                out_cols.append(
+                    F.when(matched, set_exprs[f.name]).otherwise(base).alias(f.name)
+                )
+            else:
+                out_cols.append(base.alias(f.name))
+        return self.overwrite(table, joined.select(*out_cols))
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(self._tdir(table), ignore_errors=True)

@@ -211,6 +211,7 @@ def fixture_site() -> dict[str, list[tuple]]:
         comments: list[tuple],
         js_cids: list[str],
         extra_links: list[str] = (),
+        extra_js: list[str] = (),
     ) -> tuple[str, list[tuple]]:
         url = art(slug) if page == 1 else f"{art(slug)}?page={page}"
         canonical = art(slug)
@@ -230,6 +231,9 @@ def fixture_site() -> dict[str, list[tuple]]:
             spans.append(
                 media_span(ROLE_JS_LOADER, "", f"{canonical}?cid={c}#top", off)
             )
+            off += 1
+        for href in extra_js:
+            spans.append(media_span(ROLE_JS_LOADER, "", href, off))
             off += 1
         for p in range(2, n_pages + 1):
             if p != page:
@@ -264,10 +268,16 @@ def fixture_site() -> dict[str, list[tuple]]:
     )
     site[u] = s
     u, s = art_page(
-        "politik/2020-01/art-a", 2, 3, [cmt(14, 11, "cid"), cmt(16, None)], []
+        "politik/2020-01/art-a", 2, 3, [cmt(14, 11, "cid"), cmt(16, None)], [],
+        extra_js=[art("kultur/2020-02/art-b"), "/suche/index?q=art"],
     )
     site[u] = s
-    u, s = art_page("politik/2020-01/art-a", 3, 3, [cmt(17, 16)], [])
+    u, s = art_page(
+        "politik/2020-01/art-a", 3, 3, [cmt(17, 16)], [],
+        # relative js-loader target exercises mkAbsolute (App.hs:83) and
+        # a dead link exercises the 404 path (App.hs:119-121)
+        extra_js=["/serie/dead-link", "https://profile.zeit.de/100012"],
+    )
     site[u] = s
     # cid permalink pages (from js-loaders)
     for c, parent in ((14, 11), (15, 13)):
@@ -378,21 +388,29 @@ def synthetic_web(
     def h64(*cols) -> F.Column:
         return F.xxhash64(*cols, F.lit(seed))
 
-    u = (F.pmod(h64(i), F.lit(1_000_000)) / 1_000_000.0)
-    host_id = F.least(
-        F.floor(F.pow(u, F.lit(zipf_skew)) * n_hosts).cast("long"),
-        F.lit(n_hosts - 1),
-    )
+    def host_of(doc: F.Column) -> F.Column:
+        # zipf-ish host assignment: u^skew concentrates on low ids
+        u = F.pmod(h64(doc), F.lit(1_000_000)) / 1_000_000.0
+        return F.least(
+            F.floor(F.pow(u, F.lit(zipf_skew)) * n_hosts).cast("long"),
+            F.lit(n_hosts - 1),
+        )
+
+    def url_of(doc: F.Column) -> F.Column:
+        return F.concat(
+            F.lit("https://h"), host_of(doc).cast("string"), F.lit(".test/d/"),
+            doc.cast("string"),
+        )
+
+    host_id = host_of(i)
     host = F.concat(F.lit("h"), host_id.cast("string"), F.lit(".test"))
-    url = F.concat(F.lit("https://"), host, F.lit("/d/"), i.cast("string"))
-    df = df.withColumn("host_id", host_id).withColumn("doc_id", url)
+    df = df.withColumn("host_id", host_id).withColumn("doc_id", url_of(i))
 
     def target_url(j: F.Column) -> F.Column:
-        # same-host target: deterministic hash walk
+        # deterministic hash walk to a real document (the target's own
+        # host — a link must resolve to an existing page)
         t = F.pmod(h64(i, j), F.lit(n_docs))
-        return F.concat(
-            F.lit("https://"), host, F.lit("/d/"), t.cast("string")
-        )
+        return url_of(t)
 
     cid = F.concat(F.lit("cid-"), i.cast("string"), F.lit("-"))
 
@@ -493,12 +511,7 @@ def synthetic_web(
         F.struct(
             F.lit("media").alias("kind"),
             F.lit(f"{ROLE_PAGER}\x1f2").alias("text"),
-            F.concat(
-                F.lit("https://h"),
-                F.pmod(h64(i, F.lit(777)), F.lit(n_hosts)).cast("string"),
-                F.lit(".test/d/"),
-                F.pmod(h64(i, F.lit(778)), F.lit(n_docs)).cast("string"),
-            ).alias("media_ref"),
+            url_of(F.pmod(h64(i, F.lit(778)), F.lit(n_docs))).alias("media_ref"),
             F.lit(0).alias("offset"),
         )
     )

@@ -1,0 +1,178 @@
+"""Crawl-loop fidelity tests: the Spark engine vs the pure-Python
+simulator of the reference's runScrapers semantics (App.hs:38-69).
+
+Sequential mode (one URL per epoch) must reproduce the reference's
+fetch *order* bit-for-bit; wide epochs must reproduce the same final
+seen/url/item *sets* (SURVEY.md §7.3)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from reference_sim import simulate
+from scrapetition_spark.config import ALL_LINKS_DISPATCHERS, CrawlConfig
+from scrapetition_spark.crawl import CrawlEngine
+from scrapetition_spark.schemas import COMMENTS, URL_EDGES, URLS, URLS_SEEN
+from scrapetition_spark.sources.catalog import Catalog
+from scrapetition_spark.sources.fixtures import documents_df, fixture_site
+from scrapetition_spark.plans.seen import BloomFilter
+
+SEED = "https://www.zeit.de/politik/2020-01/art-a"
+
+
+@pytest.fixture(scope="module")
+def site():
+    return fixture_site()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, site):
+    return documents_df(spark, site).localCheckpoint()
+
+
+def _engine(spark, docs, cfg, **kw):
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="crawl-"))
+    return CrawlEngine(spark, cat, cfg, docs, **kw), cat
+
+
+def _trace(cat):
+    return [
+        r["url"]
+        for r in cat.read("urls_seen", URLS_SEEN).orderBy("fetch_seq").collect()
+    ]
+
+
+def _urlset(cat):
+    return {r["url"] for r in cat.read("urls", URLS).select("url").collect()}
+
+
+def _edgeset(cat):
+    return {
+        (r["source"], r["target"])
+        for r in cat.read("url_edges", URL_EDGES).collect()
+    }
+
+
+def _commentids(cat):
+    return {r["id"] for r in cat.read("comments", COMMENTS).collect()}
+
+
+def test_sequential_fifo_exact_order(spark, site, docs):
+    cfg = CrawlConfig("www.zeit.de", follow_links=True, sequential=True,
+                      politeness_sec=0)
+    sim = simulate(site, [SEED], cfg)
+    eng, cat = _engine(spark, docs, cfg, use_bloom=False)
+    eng.seed([SEED])
+    eng.run()
+    assert _trace(cat) == sim.trace
+    assert _urlset(cat) == set(sim.inserted_urls)
+    assert _edgeset(cat) == set(sim.edges)
+    assert _commentids(cat) == {c["id"] for c in sim.comments}
+
+
+def test_sequential_lifo_exact_order(spark, site, docs):
+    cfg = CrawlConfig("www.zeit.de", follow_links=True, lifo=True,
+                      sequential=True, politeness_sec=0)
+    sim = simulate(site, [SEED], cfg)
+    eng, cat = _engine(spark, docs, cfg, use_bloom=False)
+    eng.seed([SEED])
+    eng.run()
+    assert _trace(cat) == sim.trace
+    # LIFO differs from FIFO on this site — the test is not vacuous
+    fifo = simulate(site, [SEED], CrawlConfig("www.zeit.de", follow_links=True))
+    assert sim.trace != fifo.trace
+
+
+def test_sequential_cross_domain_prefix(spark, site, docs):
+    """-x gate (C7): profile.zeit.de pages become reachable. Prefix
+    comparison bounds runtime."""
+    cfg = CrawlConfig("www.zeit.de", follow_links=True, cross_domain=True,
+                      sequential=True, politeness_sec=0)
+    sim = simulate(site, [SEED], cfg)
+    eng, cat = _engine(spark, docs, cfg, use_bloom=False)
+    eng.seed([SEED])
+    eng.run(max_epochs=7)
+    assert _trace(cat) == sim.trace[:7]
+    assert any("profile.zeit.de" in u for u in sim.trace)  # gate opened
+
+
+def test_no_follow_still_inserts(spark, site, docs):
+    """C6: without -f no URL enters the frontier, but discovered URLs
+    and edges are still written (App.hs:89-90)."""
+    cfg = CrawlConfig("www.zeit.de", follow_links=False, sequential=True,
+                      politeness_sec=0)
+    sim = simulate(site, [SEED], cfg)
+    eng, cat = _engine(spark, docs, cfg, use_bloom=False)
+    eng.seed([SEED])
+    eng.run()
+    assert _trace(cat) == sim.trace == [SEED]
+    assert _urlset(cat) == set(sim.inserted_urls)
+    assert len(_urlset(cat)) > 1  # discoveries recorded
+    assert _edgeset(cat) == set(sim.edges)
+
+
+def test_all_links_dispatcher_hygiene(spark, site, docs):
+    """Generic all-links registry (Generic.hs:91-98): anchors are
+    followed, #frag/mailto:/javascript: dropped (U7)."""
+    cfg = CrawlConfig("www.zeit.de", follow_links=True, cross_domain=True,
+                      sequential=True, politeness_sec=0,
+                      dispatchers=ALL_LINKS_DISPATCHERS)
+    sim = simulate(site, [SEED], cfg)
+    eng, cat = _engine(spark, docs, cfg, use_bloom=False)
+    eng.seed([SEED])
+    eng.run()
+    assert _trace(cat) == sim.trace
+    assert not any(
+        u.startswith(("#", "mailto:", "javascript:")) for u in _urlset(cat)
+    )
+
+
+def test_wide_epochs_same_final_state(spark, site, docs):
+    """The scale path: many URLs per epoch. Fetch order differs from
+    the sequential reference but the final seen/url/edge/comment sets
+    are identical, and per-host politeness ordering holds."""
+    cfg_seq = CrawlConfig("www.zeit.de", follow_links=True, politeness_sec=0)
+    sim = simulate(site, [SEED], cfg_seq)
+    cfg = CrawlConfig("www.zeit.de", follow_links=True, sequential=False,
+                      politeness_sec=0, per_host_budget=4, max_urls_per_epoch=100)
+    eng, cat = _engine(spark, docs, cfg, use_bloom=True, expected_urls=4096)
+    eng.seed([SEED])
+    stats = eng.run()
+    assert len(stats) < len(sim.trace)  # actually batched
+    assert set(_trace(cat)) == set(sim.trace)
+    assert _urlset(cat) == set(sim.inserted_urls)
+    assert _edgeset(cat) == set(sim.edges)
+    assert _commentids(cat) == {c["id"] for c in sim.comments}
+
+
+def test_resume_idempotent(spark, site, docs):
+    """Kill-and-restart (≙ -d resume, Main.hs:247-250): a new engine
+    on the same catalog finishes the crawl to the identical state."""
+    cfg = CrawlConfig("www.zeit.de", follow_links=True, sequential=True,
+                      politeness_sec=0)
+    sim = simulate(site, [SEED], cfg)
+    eng, cat = _engine(spark, docs, cfg, use_bloom=False)
+    eng.seed([SEED])
+    eng.run(max_epochs=3)
+    # fresh engine = fresh driver process; state only from the catalog
+    eng2 = CrawlEngine(spark, cat, cfg, docs, use_bloom=False)
+    eng2.run()
+    assert _trace(cat) == sim.trace
+    assert _urlset(cat) == set(sim.inserted_urls)
+
+
+def test_bloom_exactness(spark):
+    """Bloom positives are verified exactly; negatives never drop a
+    URL (unseen() returns exactly frontier ∖ seen)."""
+    from scrapetition_spark.plans.seen import unseen
+
+    n = 5000
+    cand = spark.range(n).select(F.concat(F.lit("u"), "id").alias("url"))
+    seen = spark.range(0, n, 2).select(F.concat(F.lit("u"), "id").alias("url"))
+    bloom = BloomFilter.empty(n, bits_per_key=8).build_from(seen)
+    got = {r["url"] for r in unseen(cand, seen, bloom).collect()}
+    want = {f"u{i}" for i in range(1, n, 2)}
+    assert got == want
