@@ -97,7 +97,7 @@ class CrawlConfig:
     dispatchers: tuple[Dispatcher, ...] = ZEIT_DE_DISPATCHERS
     # Engine scale knobs (no reference counterpart — epoch batching):
     per_host_budget: int = 1  # max fetches per host per epoch (politeness)
-    max_urls_per_epoch: int = 100_000  # global due-set cap
+    max_urls_per_epoch: int | None = 100_000  # global due-set cap (None = unbounded)
     n_host_buckets: int = 256  # salted frontier partitioning
     sequential: bool = False  # 1 URL/epoch: bit-exact reference ordering
     respect_robots: bool = False  # north-rule addition (absent in reference)

@@ -35,9 +35,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scrapetition_spark.config import CrawlConfig
-from scrapetition_spark.functions.urls import host_bucket, url_domain, url_join
-from scrapetition_spark.parse import parse_pages
-from scrapetition_spark.plans.frontier import gate_discovered, plan_due
+from scrapetition_spark.functions.urls import host_bucket, url_domain
+from scrapetition_spark.parse import discover_urls, parse_pages
+from scrapetition_spark.plans.frontier import (
+    LINEAGE_COLS,
+    assign_fetch_seq,
+    gate_discovered,
+    plan_due,
+)
 from scrapetition_spark.plans.seen import BloomFilter
 from scrapetition_spark.schemas import (
     ARTICLES,
@@ -180,8 +185,21 @@ class CrawlEngine:
         seen = self.cat.read("urls_seen", URLS_SEEN)
 
         due = plan_due(urls, seen, self.bloom, cfg, self.fetch_seq_base, self.robots)
-        due = due.select("url", "host", "host_bucket", "fetch_seq").localCheckpoint()
-        n_due = due.count()
+        if cfg.sequential:
+            due = due.select(
+                "url", "host", "host_bucket", "fetch_seq"
+            ).localCheckpoint()
+            n_due = due.count()
+        else:
+            # materialize the due set once, then number it in parallel
+            # (per-bucket windows + dense offsets — no global sort)
+            raw = due.select(
+                "url", "host", "host_bucket", *LINEAGE_COLS
+            ).localCheckpoint()
+            due, n_due = assign_fetch_seq(raw, cfg, self.fetch_seq_base)
+            due = due.select(
+                "url", "host", "host_bucket", "fetch_seq"
+            ).localCheckpoint()
         mark("due")
         if n_due == 0:
             return EpochStats(epoch, 0, 0, int((time.time() - t0) * 1000))
@@ -223,6 +241,7 @@ class CrawlEngine:
         # comments feed four sinks (comments, contributors, votes,
         # articles-from-comments): materialize once, reuse (reuse=True).
         parsed = parse_pages(pages, reuse=True)
+        mark("parse")
         due_seq = due.select("url", "fetch_seq")
 
         # S2: sniffed charset (meta content-type span) wins over the
@@ -349,55 +368,31 @@ class CrawlEngine:
                  ["fetch_seq", "dispatcher_idx", "pos"])
             )
 
-        # ---- discovered URLs per dispatcher (C4): absolutize + nub
-        disc_parts = []
-        for idx, d in enumerate(dispatchers):
-            if not d.url_collectors:
-                continue
-            rank = F.lit(None)
-            for r, role in enumerate(d.url_collectors):
-                rank = F.when(F.col("role") == role, F.lit(r)).otherwise(rank)
-            part = (
-                with_seq(parsed.urls)
-                .filter(
-                    F.col("url").rlike(d.url_scheme)
-                    & F.col("role").isin(list(d.url_collectors))
-                )
-                .withColumn("dispatcher_idx", F.lit(idx))
-                .withColumn("collector_rank", rank)
-            )
-            disc_parts.append(part)
-
-        if disc_parts:
-            disc = disc_parts[0]
-            for p in disc_parts[1:]:
-                disc = disc.unionByName(p)
-            # mkAbsolute url (App.hs:83), then nub (first occurrence in
-            # jsLoader++pager concat order), then positions over the
-            # deduped list.
-            disc = disc.withColumn("abs_target", url_join(F.col("url"), F.col("target")))
-            w_nub = Window.partitionBy("url", "dispatcher_idx", "abs_target").orderBy(
-                "collector_rank", "offset"
-            )
-            w_pos = Window.partitionBy("url", "dispatcher_idx").orderBy(
-                "collector_rank", "offset"
-            )
+        # ---- discovered URLs per dispatcher (C4): mkAbsolute + nub +
+        # pos, computed *inside the span array* (parse/kernel.py
+        # discover_urls) — map-side, no shuffle, no Python on the hot
+        # path; only dot-segment relative refs take the UDF fallback.
+        disc = discover_urls(
+            hit,
+            [
+                (i, d.url_scheme, d.url_collectors)
+                for i, d in enumerate(dispatchers)
+                if d.url_collectors
+            ],
+        )
+        if disc is not None:
             disc = (
-                disc.withColumn("__rn", F.row_number().over(w_nub))
-                .filter(F.col("__rn") == 1)
-                .withColumn("pos", F.row_number().over(w_pos) - 1)
+                disc.join(F.broadcast(due_seq), disc["source"] == due_seq["url"], "inner")
                 .select(
-                    F.col("url").alias("source"),
+                    "source",
                     F.col("fetch_seq").alias("source_fetch_seq"),
                     "dispatcher_idx",
                     "pos",
-                    F.col("abs_target").alias("target"),
+                    "target",
                 )
                 .localCheckpoint()
             )
             n_discovered = disc.count()
-        else:
-            disc = None
         mark("discovered")
 
         urls_now = self.cat.read("urls", URLS)
@@ -482,10 +477,13 @@ class CrawlEngine:
         # S6: discovered URLs always inserted (App.hs:89-90), even when
         # not followed (C6) or cross-domain (C7). First occurrence wins.
         if disc is not None:
-            w = Window.partitionBy("target").orderBy(*_URL_ORDER)
+            # first occurrence per target (hash agg, not sort window)
+            key = F.struct(*[F.col(c).alias(c) for c in _URL_ORDER])
+            row = F.struct(*[F.col(c) for c in disc.columns if c != "target"])
             first_disc = (
-                disc.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
+                disc.groupBy("target")
+                .agg(F.min_by(row, key).alias("__r"))
+                .select("target", "__r.*")
                 .withColumn("discovery_epoch", F.lit(epoch))
             )
             inserts = self._url_row(first_disc, scheduled=False)

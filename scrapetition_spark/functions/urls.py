@@ -120,6 +120,39 @@ def url_join(bases: pd.Series, paths: pd.Series) -> pd.Series:  # pragma: no cov
     return _mk_absolute_series(bases, paths)
 
 
+def url_resolve_native(base: Column, target: Column) -> Column:
+    """U2 fast path: RFC 3986 resolution as a native Column expression
+    for the cases that dominate crawling — absolute refs,
+    protocol-relative (``//h/p``), root-relative (``/p``),
+    fragment-only, query-only, and plain relative refs without dot
+    segments. Returns NULL when the case needs the Python fallback
+    (dot segments, empty refs, non-hierarchical bases), so callers can
+    route just those rows through the vectorized ``url_join`` UDF.
+    Native coverage is usable inside array lambdas (higher-order
+    functions), which keeps per-page URL discovery entirely map-side.
+    Equality with ``mk_absolute_str`` on the covered domain is
+    property-tested (tests/test_urls.py)."""
+    origin = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
+    base_nf = F.substring_index(base, "#", 1)
+    base_nq = F.substring_index(base_nf, "?", 1)
+    base_dir = F.regexp_extract(base_nq, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^?#]*/)", 1)
+    t = target
+    return (
+        F.when(t.isNull() | (t == "") | t.rlike(r"(^|/)\.\.?(/|$)"), F.lit(None))
+        .when(t.rlike(_SCHEME_RE), t)  # absolute ⇒ passthrough (exact)
+        .when(~base.rlike(_SCHEME_RE), t)  # unparsable base ⇒ verbatim
+        .when(t.startswith("//") & (origin != ""), F.concat(scheme, F.lit(":"), t))
+        .when(t.startswith("/") & (origin != ""), F.concat(origin, t))
+        .when(t.startswith("/"), F.lit(None))  # no authority ⇒ fallback
+        .when(t.startswith("#") & (origin != ""), F.concat(base_nf, t))
+        .when(t.startswith("?") & (origin != ""), F.concat(base_nq, t))
+        .when(base_dir != "", F.concat(base_dir, t))
+        .when(origin != "", F.concat(origin, F.lit("/"), t))
+        .otherwise(F.lit(None))
+    )
+
+
 def mk_absolute(base: Column | str, path: Column | str) -> Column:
     """U2 as a Column expression: resolve ``path`` against ``base``."""
     b = F.col(base) if isinstance(base, str) else base

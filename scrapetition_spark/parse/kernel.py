@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from scrapetition_spark import spans as SP
@@ -37,6 +37,7 @@ from scrapetition_spark.functions.urls import (
     fragment_or_url,
     hygienic_link,
     strip_query,
+    url_join,
 )
 
 # P11 (ZeitDe.hs:386-388): "%FT%T%z" — ISO-8601 with numeric offset.
@@ -109,6 +110,28 @@ def explode_spans(pages: DataFrame, with_groups: bool = False) -> DataFrame:
 
 def _grp(role: str, col: str = "payload") -> F.Column:
     return F.max(F.when(F.col("role") == role, F.col(col)))
+
+
+# Collector roles and their per-role target transforms (P1/P10):
+COLLECTOR_ROLES = [
+    SP.ROLE_JS_LOADER,
+    SP.ROLE_PAGER,
+    SP.ROLE_NEXT,
+    SP.ROLE_USER_COMMENT,
+    SP.ROLE_TEASER_LINK,
+    SP.ROLE_ANCHOR,
+]
+
+
+def _collector_target(role: F.Column, m: F.Column) -> F.Column:
+    return (
+        F.when(role == SP.ROLE_JS_LOADER, drop_fragment(m))  # ZeitDe.hs:312-314
+        .when(role == SP.ROLE_PAGER, drop_fragment(m))  # :326-329
+        .when(role == SP.ROLE_NEXT, m)  # :320-323 (raw link)
+        .when(role == SP.ROLE_USER_COMMENT, strip_query(m))  # :344-347
+        .when(role == SP.ROLE_TEASER_LINK, m)  # :350-353
+        .when(role == SP.ROLE_ANCHOR, drop_fragment(m))  # Generic.hs:36
+    )
 
 
 @dataclass
@@ -330,31 +353,20 @@ def parse_pages(pages: DataFrame, reuse: bool = False) -> ParseResult:
     )
 
     # ---- URL collectors (P1/P10) ----------------------------------------
-    m = F.col("media_ref")
-    target = (
-        F.when(F.col("role") == SP.ROLE_JS_LOADER, drop_fragment(m))  # :312-314
-        .when(F.col("role") == SP.ROLE_PAGER, drop_fragment(m))  # :326-329
-        .when(F.col("role") == SP.ROLE_NEXT, m)  # :320-323 (raw link)
-        .when(F.col("role") == SP.ROLE_USER_COMMENT, strip_query(m))  # :344-347
-        .when(F.col("role") == SP.ROLE_TEASER_LINK, m)  # :350-353
-        .when(F.col("role") == SP.ROLE_ANCHOR, drop_fragment(m))  # Generic.hs:36
-    )
-    collector_roles = [
-        SP.ROLE_JS_LOADER,
-        SP.ROLE_PAGER,
-        SP.ROLE_NEXT,
-        SP.ROLE_USER_COMMENT,
-        SP.ROLE_TEASER_LINK,
-        SP.ROLE_ANCHOR,
-    ]
     urls = (
-        sp.filter(F.col("role").isin(collector_roles) & m.isNotNull())
-        # generic anchors pass the hygiene filter (Generic.hs:45-52);
-        # applied to the raw href before fragment-dropping.
-        .filter(
-            (F.col("role") != SP.ROLE_ANCHOR) | hygienic_link(m)
+        sp.filter(
+            F.col("role").isin(COLLECTOR_ROLES)
+            & F.col("media_ref").isNotNull()
+            # generic anchors pass the hygiene filter (Generic.hs:45-52);
+            # applied to the raw href before fragment-dropping.
+            & ((F.col("role") != SP.ROLE_ANCHOR) | hygienic_link(F.col("media_ref")))
         )
-        .select("url", "role", target.alias("target"), "offset")
+        .select(
+            "url",
+            "role",
+            _collector_target(F.col("role"), F.col("media_ref")).alias("target"),
+            "offset",
+        )
     )
 
     return ParseResult(
@@ -368,3 +380,155 @@ def parse_pages(pages: DataFrame, reuse: bool = False) -> ParseResult:
         urls=urls,
         pages_meta=pages_meta,
     )
+
+
+# ---------------------------------------------------------------------------
+# Map-side URL discovery (C4 + U2: mkAbsolute + nub per page, App.hs:83)
+
+
+_DISC_STRUCT = "array<struct<rank:int,offset:int,target:string>>"
+
+
+def discover_urls(
+    pages: DataFrame,
+    dispatchers: list[tuple[int, str, tuple[str, ...]]],
+) -> DataFrame | None:
+    """Discovered URLs per (page × dispatcher): absolutize (U2), nub
+    first-occurrence in (collector_rank, offset) order, dense ``pos``.
+
+    Scale design: everything happens *inside the span array* with
+    higher-order functions — filter → transform → array_sort →
+    aggregate-dedup → posexplode — so the hot path is pure map-side
+    whole-stage-codegen work with zero shuffles and zero Python. Only
+    pages containing a relative ref that native RFC 3986 resolution
+    can't express (dot segments etc. — ``url_resolve_native`` returns
+    NULL) are routed through the vectorized ``url_join`` pandas UDF +
+    per-page windows; the whole page takes the fallback so within-page
+    ``nub`` order stays exact.
+
+    ``dispatchers``: (dispatcher_idx, url_scheme_regex, collector
+    roles).  Returns (source, dispatcher_idx, pos, target) or None if
+    no dispatcher collects URLs.
+    """
+    from scrapetition_spark.functions.urls import url_resolve_native
+
+    parts_fast: list[DataFrame] = []
+    parts_slow: list[DataFrame] = []
+    base = pages.select("url", "spans")
+    if "status" in pages.columns:
+        base = pages.filter(
+            F.col("status").isNull() | (F.col("status") < 400)
+        ).select("url", "spans")
+
+    for idx, scheme, collectors in dispatchers:
+        roles = [r for r in collectors if r in COLLECTOR_ROLES]
+        if not roles:
+            continue
+        rank_of = {r: collectors.index(r) for r in roles}
+
+        def role_of(s):
+            return F.substring_index(s["text"], SP.SEP, 1)
+
+        # NB: span lambdas must take exactly one parameter — a second
+        # parameter makes PySpark pass the array index as an argument.
+        def make_keep(roles):
+            def keep(s):
+                r = role_of(s)
+                return (
+                    r.isin(roles)
+                    & s["media_ref"].isNotNull()
+                    & ((r != SP.ROLE_ANCHOR) | hygienic_link(s["media_ref"]))
+                )
+
+            return keep
+
+        def make_to_cand(rank_of):
+            def to_cand(s):
+                r = role_of(s)
+                rank = F.lit(None).cast("int")
+                for role, rk in rank_of.items():
+                    rank = F.when(r == role, F.lit(rk)).otherwise(rank)
+                return F.struct(
+                    rank.alias("rank"),
+                    s["offset"].cast("int").alias("offset"),
+                    _collector_target(r, s["media_ref"]).alias("target"),
+                )
+
+            return to_cand
+
+        keep = make_keep(roles)
+        to_cand = make_to_cand(rank_of)
+
+        pg = base.filter(F.col("url").rlike(scheme)).select(
+            "url",
+            F.array_sort(
+                F.transform(F.filter("spans", keep), to_cand)
+            ).alias("__cand"),
+        ).filter(F.size("__cand") > 0)
+
+        # native absolutization inside the array; NULL target ⇒ page
+        # needs the Python fallback
+        resolved = F.transform(
+            "__cand",
+            lambda x: F.struct(
+                x["rank"].alias("rank"),
+                x["offset"].alias("offset"),
+                url_resolve_native(F.col("url"), x["target"]).alias("target"),
+            ),
+        )
+        pg = pg.withColumn("__res", resolved).withColumn(
+            "__needs_py", F.exists("__res", lambda x: x["target"].isNull())
+        )
+
+        # fast path: nub on the resolved target, first occurrence in
+        # array order (already sorted by (rank, offset))
+        dedup = F.aggregate(
+            "__res",
+            F.expr(f"cast(array() as {_DISC_STRUCT})"),
+            lambda acc, x: F.when(
+                F.exists(acc, lambda a: a["target"] == x["target"]), acc
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        fast = (
+            pg.filter(~F.col("__needs_py"))
+            .select("url", F.posexplode(dedup))
+            .select(
+                F.col("url").alias("source"),
+                F.lit(idx).alias("dispatcher_idx"),
+                F.col("pos").cast("int").alias("pos"),
+                F.col("col.target").alias("target"),
+            )
+        )
+        parts_fast.append(fast)
+
+        slow = (
+            pg.filter(F.col("__needs_py"))
+            .select("url", F.explode("__cand").alias("c"))
+            .select(
+                "url",
+                F.col("c.rank").alias("rank"),
+                F.col("c.offset").alias("offset"),
+                url_join(F.col("url"), F.col("c.target")).alias("abs_target"),
+            )
+        )
+        w_nub = Window.partitionBy("url", "abs_target").orderBy("rank", "offset")
+        w_pos = Window.partitionBy("url").orderBy("rank", "offset")
+        slow = (
+            slow.withColumn("__rn", F.row_number().over(w_nub))
+            .filter(F.col("__rn") == 1)
+            .withColumn("pos", (F.row_number().over(w_pos) - 1).cast("int"))
+            .select(
+                F.col("url").alias("source"),
+                F.lit(idx).alias("dispatcher_idx"),
+                "pos",
+                F.col("abs_target").alias("target"),
+            )
+        )
+        parts_slow.append(slow)
+
+    if not parts_fast:
+        return None
+    out = parts_fast[0]
+    for p in parts_fast[1:] + parts_slow:
+        out = out.unionByName(p)
+    return out

@@ -84,23 +84,67 @@ def plan_due(
 
     key = order_key(cfg)
     if cfg.sequential:
+        # exact reference order: one URL per epoch, dense global seq
         due = cand.orderBy(*key).limit(1)
-    else:
-        per_host = Window.partitionBy("host_bucket", "host").orderBy(*key)
-        due = (
-            cand.withColumn("__hr", F.row_number().over(per_host))
-            .filter(F.col("__hr") <= cfg.per_host_budget)
-            .drop("__hr")
-            .orderBy(*key)
-            .limit(cfg.max_urls_per_epoch)
+        w = Window.orderBy(*key)
+        return due.withColumn(
+            "fetch_seq",
+            (F.row_number().over(w) - 1 + F.lit(fetch_seq_base)).cast("long"),
         )
-    # global fetch_seq: a single-partition window over the (small,
-    # budget-capped) due set — bounded by max_urls_per_epoch, not by
-    # frontier size, so the single task is fine at scale.
-    w = Window.orderBy(*key)
-    return due.withColumn(
-        "fetch_seq", (F.row_number().over(w) - 1 + F.lit(fetch_seq_base)).cast("long")
+    per_host = Window.partitionBy("host_bucket", "host").orderBy(*key)
+    due = (
+        cand.withColumn("__hr", F.row_number().over(per_host))
+        .filter(F.col("__hr") <= cfg.per_host_budget)
+        .drop("__hr")
     )
+    if cfg.max_urls_per_epoch is not None:
+        # binding global cap ⇒ top-K by the lineage key
+        # (TakeOrderedAndProject: per-partition top-K + driver merge)
+        due = due.orderBy(*key).limit(cfg.max_urls_per_epoch)
+    return due  # fetch_seq assigned by assign_fetch_seq (parallel)
+
+
+def assign_fetch_seq(
+    due: DataFrame, cfg: CrawlConfig, fetch_seq_base: int
+) -> tuple[DataFrame, int]:
+    """Dense, deterministic ``fetch_seq`` over a wide-epoch due set
+    WITHOUT a single-partition global sort: rows are numbered inside
+    each host bucket (parallel windows — within-host order follows the
+    exact lineage key), and bucket-level dense offsets come from a
+    tiny per-bucket count (≤ n_host_buckets rows on the driver).
+    Cross-bucket order is bucket-major rather than key-major — a
+    documented wide-epoch relaxation: everything due in one epoch is
+    fetched "simultaneously"; per-host order (the politeness
+    invariant) stays exact. Call on a materialized (checkpointed) due
+    frame so the size scan is cheap."""
+    key = order_key(cfg)
+    w = Window.partitionBy("host_bucket").orderBy(*key)
+    d = due.withColumn("__rn", F.row_number().over(w))
+    sizes = sorted(
+        (r["host_bucket"], r["n"])
+        for r in due.groupBy("host_bucket").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for b, n in sizes:
+        offsets[b] = acc
+        acc += n
+    if not offsets:  # empty due set
+        return due.withColumn("fetch_seq", F.lit(None).cast("long")), 0
+    spark = due.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(b, o) for b, o in offsets.items()], ["host_bucket", "__off"]
+        )
+    )
+    out = (
+        d.join(off_df, ["host_bucket"], "inner")
+        .withColumn(
+            "fetch_seq",
+            (F.col("__off") + F.col("__rn") - 1 + F.lit(fetch_seq_base)).cast("long"),
+        )
+        .drop("__rn", "__off")
+    )
+    return out, acc
 
 
 def gate_discovered(discovered: DataFrame, cfg: CrawlConfig) -> DataFrame:
@@ -116,21 +160,21 @@ def gate_discovered(discovered: DataFrame, cfg: CrawlConfig) -> DataFrame:
     d = discovered
     if not cfg.cross_domain:
         d = d.filter(url_domain(F.col("target")) == F.lit(cfg.start_domain))
-    if cfg.lifo:
-        order = [
-            F.col("source_fetch_seq").desc(),
-            F.col("dispatcher_idx").asc(),
-            F.col("pos").asc(),
-        ]
-    else:
-        order = [
-            F.col("source_fetch_seq").asc(),
-            F.col("dispatcher_idx").asc(),
-            F.col("pos").asc(),
-        ]
-    w = Window.partitionBy("target").orderBy(*order)
+    # first/last-occurrence per target as a hash aggregate (min_by):
+    # partial agg map-side, one shuffle — no sort-window over the
+    # (high-cardinality) target key. LIFO negates the numeric seq so
+    # a single min_by expresses (seq DESC, dispatcher ASC, pos ASC).
+    seq = F.col("source_fetch_seq")
+    key = F.struct(
+        (-seq if cfg.lifo else seq).alias("s"),
+        F.col("dispatcher_idx").alias("d"),
+        F.col("pos").alias("p"),
+    )
+    others = [c for c in d.columns if c != "target"]
+    row = F.struct(*[F.col(c) for c in others])
     return (
-        d.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        d.groupBy("target")
+        .agg(F.min_by(row, key).alias("__r"))
+        .select("target", "__r.*")
+        .select(*d.columns)
     )

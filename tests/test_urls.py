@@ -122,3 +122,57 @@ def test_count_of_fans(spark):
     df = spark.createDataFrame([("1,2,3",), ("9",), ("",)], ["fans"])
     got = [r[0] for r in df.select(count_of_fans("fans")).collect()]
     assert got == [3, 1, 1]
+
+
+def test_url_resolve_native_matches_urljoin(spark):
+    """Property: wherever the native RFC 3986 fast path claims
+    coverage (non-null), it must equal mk_absolute_str (urljoin
+    semantics). NULL rows are the declared fallback domain."""
+    from itertools import product
+
+    from scrapetition_spark.functions.urls import (
+        mk_absolute_str,
+        url_resolve_native,
+    )
+
+    bases = [
+        "https://h7.test/a/b/c?q=1#f",
+        "https://h7.test/a/b/",
+        "https://h7.test",
+        "http://u:p@h.test:8080/x/y",
+        "not a uri",
+        "www.feu.de/x",
+        "mailto:a@b.c",
+        "urn:isbn:123",
+    ]
+    targets = [
+        "https://other.org/z?x#y",
+        "ftp://f.test/z",
+        "//cdn.test/lib.js",
+        "/rooted/path?q=2",
+        "/rooted#frag",
+        "#frag-only",
+        "?q=only",
+        "plain/rel.html",
+        "rel.html?a=1#b",
+        "../up/one",
+        "./here",
+        "a/../b",
+        "/..",
+        "",
+        "C:/windows/looking",
+        "x y spaces",
+    ]
+    rows = list(product(bases, targets))
+    df = spark.createDataFrame(rows, ["b", "t"])
+    got = df.select(
+        "b", "t", url_resolve_native(F.col("b"), F.col("t")).alias("n")
+    ).collect()
+    n_covered = 0
+    for r in got:
+        if r["n"] is not None:
+            expect = mk_absolute_str(r["b"], r["t"])
+            assert r["n"] == expect, (r["b"], r["t"], r["n"], expect)
+            n_covered += 1
+    # the fast path must cover the crawl-dominant cases
+    assert n_covered >= len(rows) * 0.5
