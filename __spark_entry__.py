@@ -195,6 +195,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "embeddings"), query_ids=list(range(10)), k=5
         )
 
+    def d5(spark, sf):
+        return D.embedding_cosine_neardups(_t(spark, sf, "embeddings"), threshold=0.4)
+
+    def m1(spark, sf):
+        from scrapetition_spark.operators import multimodal as M
+
+        return M.media_metadata(_t(spark, sf, "documents"))
+
+    def m2(spark, sf):
+        from scrapetition_spark.operators import multimodal as M
+
+        return M.decode_media(M.media_from_documents(_t(spark, sf, "documents")))
+
+    def m3(spark, sf):
+        from scrapetition_spark.operators import multimodal as M
+
+        return M.media_features(
+            M.media_from_documents(_t(spark, sf, "documents"))
+        ).select("doc_id", "format", "histogram", "embedding")
+
     def t1(spark, sf):
         return T.quality_scores(_t(spark, sf, "documents"))
 
@@ -276,6 +296,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_minhash_lsh": d2,
         "d3_ngram_jaccard": d3,
         "d4_simhash_near_dups": d4,
+        "d5_embedding_neardup": d5,
+        "m1_media_metadata": m1,
+        "m2_media_decode": m2,
+        "m3_media_features": m3,
         "s1_cosine_topk": s1,
         "s2_ann_lsh": s2,
         "t1_quality_scores": t1,
@@ -558,6 +582,32 @@ def oracle_sql() -> dict[str, str]:
               JOIN sets sa ON doc_a = sa.doc_id
               JOIN sets sb ON doc_b = sb.doc_id)
             WHERE jaccard >= 0.02
+        """,
+        "d5_embedding_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])), 4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+        """,
+        "m1_media_metadata": """
+            SELECT doc_id,
+                   ['png','jpeg','wav'][CAST(doc_id % 3 AS INT) + 1] AS format,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   CASE WHEN doc_id % 3 != 2
+                        THEN CAST(16 + doc_id % 64 AS INT) END AS width,
+                   CASE WHEN doc_id % 3 != 2
+                        THEN CAST(16 + (doc_id * 7) % 64 AS INT) END AS height,
+                   CASE WHEN doc_id % 3 = 2 THEN 16000 END AS sample_rate
+            FROM documents
+        """,
+        "m2_media_decode": """
+            SELECT doc_id,
+                   ['png','jpeg','wav'][CAST(doc_id % 3 AS INT) + 1] AS format,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   md5(text) AS digest
+            FROM documents
         """,
         "s1_cosine_topk": """
             WITH q AS (

@@ -144,13 +144,17 @@ class CrawlEngine:
     def seed_frame(self, targets: DataFrame) -> None:
         """Distributed seeding: schedule a whole DataFrame of URLs
         (column ``target``) — the 10^10-frontier bootstrap path; a
-        driver-side list would not scale."""
+        driver-side list would not scale. ``pos`` is a deterministic
+        hash rather than a dense global row number (which would need a
+        single-partition sort); within-host pop order stays
+        deterministic, cross-host seed order is immaterial to the
+        politeness queue."""
         df = targets.select(
             "target",
             F.lit(-1).alias("discovery_epoch"),
             F.lit(-1).cast("long").alias("source_fetch_seq"),
             F.lit(-1).alias("dispatcher_idx"),
-            (F.row_number().over(Window.orderBy("target")) - 1).alias("pos"),
+            F.pmod(F.xxhash64("target"), F.lit(1 << 31)).cast("int").alias("pos"),
         )
         self.cat.merge_insert(
             "urls", self._url_row(df, scheduled=True), UNIQUE_KEYS["urls"], URLS,

@@ -193,3 +193,33 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 12) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_cosine_neardups(
+    embeddings: DataFrame, threshold: float = 0.4, round_to: int = 4
+) -> DataFrame:
+    """Embedding-space near-dup pairs: cosine ≥ threshold over the
+    (vec_id < vec_id) pair space. Exactness baseline — the all-pairs
+    join is the oracle-checkable form; at corpus scale the pair space
+    is pruned first with the sign-sketch LSH
+    (operators/similarity.ann_lsh_topk uses the same sketch), which
+    turns the cross join into a bucket join with identical verify
+    semantics. Cosine is rounded before thresholding so the cut is
+    reproducible across engines."""
+    from scrapetition_spark.operators.similarity import cosine
+
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), round_to).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
