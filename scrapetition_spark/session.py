@@ -54,6 +54,11 @@ def get_spark(
         .config("spark.driver.host", "127.0.0.1")
         .config("spark.locality.wait", "0")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Catalog commits bin-pack to few files (catalog.py); smaller
+        # parquet row groups keep those files splittable so later
+        # scans still fan out across all cores (Spark splits parquet
+        # at row-group boundaries).
+        .config("spark.hadoop.parquet.block.size", str(16 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
