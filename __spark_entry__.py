@@ -107,6 +107,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = propagate_threads(comments, domain_col=None, with_depth=True)
         return out.select("id", "thread", "depth")
 
+    def a4(spark, sf):
+        from scrapetition_spark.operators.threads import subthread
+
+        comments = comments_from_events(_t(spark, sf, "events"))
+        return subthread(comments, "c0").select("id", "parent")
+
+    def c10(spark, sf):
+        """Robots deny-join (north rule; no reference counterpart):
+        frontier candidates minus (host, path_prefix) disallow rules."""
+        u = urls_from_documents(_t(spark, sf, "documents"))
+        robots = (
+            u.select("host")
+            .distinct()
+            .select(
+                "host",
+                F.lit("/d/").alias("path_prefix"),
+                F.when(
+                    F.substring_index(F.substring_index("host", ".", 1), "h", -1)
+                    .cast("int") % 5 == 0,
+                    F.lit(0),
+                ).otherwise(F.lit(1)).alias("allow"),
+            )
+        )
+        deny = robots.filter(F.col("allow") == 0).select(
+            F.col("host").alias("r_host"), "path_prefix"
+        )
+        cand = u.filter(~F.col("is_seen"))
+        hit = cand.join(
+            deny,
+            (cand["host"] == deny["r_host"])
+            & cand["url"].startswith(
+                F.concat(F.lit("https://"), deny["r_host"], deny["path_prefix"])
+            ),
+            "left_semi",
+        )
+        return (
+            cand.join(hit.select("url"), ["url"], "left_anti")
+            .select("url", "host")
+        )
+
     def c1(spark, sf):
         u = urls_from_documents(_t(spark, sf, "documents"))
         w = Window.partitionBy("host").orderBy("discovery_epoch", "seq")
@@ -275,6 +315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "a3_graph_bfs": a3,
+        "a4_subthread": a4,
+        "c10_robots_deny": c10,
         "a5_counts_per_domain": a5,
         "a6_avg_items_per_order": a6,
         "a7_top_visited": a7,
@@ -361,6 +403,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT depth, count(*) AS n_nodes
             FROM (SELECT node, min(depth) AS depth FROM bfs GROUP BY node)
             GROUP BY depth ORDER BY depth
+        """,
+        "a4_subthread": """
+            WITH RECURSIVE c AS (
+              SELECT 'c' || CAST(event_id AS VARCHAR) AS id,
+                     CASE WHEN event_id % 5 = 0 THEN NULL
+                          WHEN event_id % 97 = 3 THEN 'missing-' || CAST(event_id AS VARCHAR)
+                          ELSE 'c' || CAST(event_id - 1 AS VARCHAR) END AS parent
+              FROM events
+            ), d(id) AS (
+              SELECT 'c0'
+              UNION ALL
+              SELECT c.id FROM c JOIN d ON c.parent = d.id
+            )
+            SELECT c.id, c.parent
+            FROM c JOIN (SELECT DISTINCT id FROM d) dd ON c.id = dd.id
+        """,
+        "c10_robots_deny": f"""
+            WITH {_URLS_CTE.strip()},
+            deny AS (SELECT DISTINCT host FROM urls WHERE (doc_id % 23) % 5 = 0)
+            SELECT url, host FROM urls
+            WHERE NOT is_seen AND host NOT IN (SELECT host FROM deny)
         """,
         "a5_counts_per_domain": """
             SELECT n_name,

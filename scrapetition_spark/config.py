@@ -99,6 +99,7 @@ class CrawlConfig:
     per_host_budget: int = 1  # max fetches per host per epoch (politeness)
     max_urls_per_epoch: int | None = 100_000  # global due-set cap (None = unbounded)
     n_host_buckets: int = 256  # salted frontier partitioning
+    n_frontier_salts: int = 8  # hot-host two-phase top-K (1 = off)
     sequential: bool = False  # 1 URL/epoch: bit-exact reference ordering
     respect_robots: bool = False  # north-rule addition (absent in reference)
     bloom_bits_per_key: int = 16  # seen-set bloom sizing

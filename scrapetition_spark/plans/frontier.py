@@ -91,6 +91,23 @@ def plan_due(
             "fetch_seq",
             (F.row_number().over(w) - 1 + F.lit(fetch_seq_base)).cast("long"),
         )
+    if cfg.n_frontier_salts > 1:
+        # Hot-host skew defusal (north rule: salted repartitioning):
+        # a viral host can hold 10^8 frontier rows — one (bucket,host)
+        # window partition would serialize (and OOM) on a single task.
+        # Two-phase top-K: per-(host, salt) budget prune first (salt =
+        # url hash, so the hot host spreads over n salts), then the
+        # exact per-host window runs on ≤ n_salts × budget rows per
+        # host. Union of per-salt top-B contains the per-host top-B,
+        # so the result is identical to the unsalted plan (tested).
+        salt = F.pmod(F.xxhash64("url"), F.lit(cfg.n_frontier_salts))
+        w_salt = Window.partitionBy("host_bucket", "host", "__salt").orderBy(*key)
+        cand = (
+            cand.withColumn("__salt", salt)
+            .withColumn("__sr", F.row_number().over(w_salt))
+            .filter(F.col("__sr") <= cfg.per_host_budget)
+            .drop("__salt", "__sr")
+        )
     per_host = Window.partitionBy("host_bucket", "host").orderBy(*key)
     due = (
         cand.withColumn("__hr", F.row_number().over(per_host))

@@ -176,3 +176,60 @@ def test_bloom_exactness(spark):
     got = {r["url"] for r in unseen(cand, seen, bloom).collect()}
     want = {f"u{i}" for i in range(1, n, 2)}
     assert got == want
+
+
+def test_robots_gating(spark, site, docs):
+    """North-rule robots deny-join: disallowed URLs are never fetched
+    (never enter urls_seen) but discoveries are still recorded; the
+    rest of the crawl proceeds unchanged."""
+    cfg = CrawlConfig("www.zeit.de", follow_links=True, sequential=True,
+                      politeness_sec=0, respect_robots=True)
+    sim = simulate(site, [SEED], cfg)
+    # deny everything under /kultur/ on www.zeit.de
+    robots = spark.createDataFrame(
+        [("www.zeit.de", "/kultur/", 0)],
+        ["host", "path_prefix", "allow"],
+    )
+    eng, cat = _engine(spark, docs, cfg, robots=robots, use_bloom=False)
+    eng.seed([SEED])
+    eng.run()
+    trace = _trace(cat)
+    denied = [u for u in sim.trace
+              if u.startswith("https://www.zeit.de/kultur/")]
+    assert denied, "fixture must contain a deniable URL"
+    assert not any(u in trace for u in denied)
+    # every allowed URL from the reference trace was still fetched
+    assert [u for u in sim.trace if u not in denied] == trace
+    # the denied URL discovered from a fetched page is still inserted
+    # (S6 semantics); its own children were never discovered because
+    # the page was never fetched
+    assert "https://www.zeit.de/kultur/2020-02/art-b" in _urlset(cat)
+
+
+def test_salted_due_plan_equivalence(spark, site, docs):
+    """Two-phase salted top-K (hot-host skew defusal) must produce the
+    identical due set and per-host order as the direct window."""
+    from scrapetition_spark.plans.frontier import assign_fetch_seq, plan_due
+    from dataclasses import replace
+
+    cfg = CrawlConfig("www.zeit.de", follow_links=True, sequential=False,
+                      politeness_sec=0, per_host_budget=2)
+    eng, cat = _engine(spark, docs, cfg, use_bloom=False)
+    eng.seed([SEED])
+    eng.run(max_epochs=2)  # populate a non-trivial frontier
+
+    urls = cat.read("urls", URLS)
+    seen = cat.read("urls_seen", URLS_SEEN)
+
+    def due_with(n_salts):
+        c = replace(cfg, n_frontier_salts=n_salts)
+        raw = plan_due(urls, seen, None, c, 0).select(
+            "url", "host", "host_bucket",
+            "discovery_epoch", "source_fetch_seq", "dispatcher_idx", "pos",
+        ).localCheckpoint()
+        out, _ = assign_fetch_seq(raw, c, 0)
+        return sorted(
+            (r["url"], r["fetch_seq"]) for r in out.collect()
+        )
+
+    assert due_with(1) == due_with(8)
