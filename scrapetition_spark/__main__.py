@@ -1,0 +1,99 @@
+"""spark-submit entry point (north rule: ``spark-submit --py-files``).
+
+CLI mirrors the reference's flags (app/Main.hs:70-132):
+
+    spark-submit --py-files scrapetition_spark.zip \
+        -m scrapetition_spark \
+        --catalog /data/crawl --documents /data/web.parquet \
+        -u https://www.zeit.de/...            # seed URL (SingleUrl)
+        [-d]                                  # resume not-seen (NotSeenFromDB)
+        [-f] [-x] [-l]                        # follow / cross-domain / LIFO
+        [--sequential]                        # bit-exact reference ordering
+        [--epochs N] [--budget B] [--politeness S]
+        [--dispatchers zeit|all-links]
+
+On a cluster the session comes from spark-submit's conf (master,
+executors); locally it falls back to local[*]. ``tools/submit.sh``
+packages the library and demonstrates the full submit path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="scrapetition_spark")
+    p.add_argument("--catalog", required=True, help="catalog root directory")
+    p.add_argument("--documents", required=True, help="documents parquet path")
+    p.add_argument("-u", "--url", help="seed URL (crawl SingleUrl)")
+    p.add_argument("-d", "--resume", action="store_true",
+                   help="re-schedule not-seen URLs (crawl NotSeenFromDB)")
+    p.add_argument("-f", "--follow-links", action="store_true")
+    p.add_argument("-x", "--cross-domain", action="store_true")
+    p.add_argument("-l", "--lifo", action="store_true")
+    p.add_argument("--sequential", action="store_true")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--budget", type=int, default=1, help="per-host per-epoch")
+    p.add_argument("--politeness", type=float, default=2.0)
+    p.add_argument("--sleep", action="store_true",
+                   help="enforce the politeness budget in wall-clock")
+    p.add_argument("--start-domain", default=None)
+    p.add_argument("--robots", default=None,
+                   help="parquet of (host, path_prefix, allow)")
+    p.add_argument("--dispatchers", choices=["zeit", "all-links"], default="zeit")
+    args = p.parse_args(argv)
+
+    from scrapetition_spark.config import (
+        ALL_LINKS_DISPATCHERS,
+        ZEIT_DE_DISPATCHERS,
+        CrawlConfig,
+    )
+    from scrapetition_spark.crawl import CrawlEngine
+    from scrapetition_spark.functions.urls import domain_str
+    from scrapetition_spark.session import get_spark
+    from scrapetition_spark.sources.catalog import Catalog
+
+    spark = get_spark(app_name="scrapetition-spark")
+    start_domain = args.start_domain or (domain_str(args.url) or "") if args.url else (
+        args.start_domain or ""
+    )
+    cfg = CrawlConfig(
+        start_domain=start_domain,
+        follow_links=args.follow_links,
+        cross_domain=args.cross_domain,
+        lifo=args.lifo,
+        sequential=args.sequential,
+        politeness_sec=args.politeness,
+        per_host_budget=args.budget,
+        respect_robots=args.robots is not None,
+        dispatchers=(
+            ZEIT_DE_DISPATCHERS if args.dispatchers == "zeit" else ALL_LINKS_DISPATCHERS
+        ),
+    )
+    documents = spark.read.parquet(args.documents)
+    robots = spark.read.parquet(args.robots) if args.robots else None
+    eng = CrawlEngine(spark, Catalog(spark, args.catalog), cfg, documents, robots=robots)
+
+    if args.url:
+        eng.seed([args.url])
+    elif args.resume:
+        eng.resume_not_seen()
+    else:
+        p.error("need -u URL or -d (resume)")
+
+    stats = eng.run(max_epochs=args.epochs, sleep=args.sleep)
+    out = {
+        "epochs": len(stats),
+        "urls_fetched": sum(s.urls_due for s in stats),
+        "urls_discovered": sum(s.urls_discovered for s in stats),
+        "seconds": round(sum(s.duration_ms for s in stats) / 1000.0, 2),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

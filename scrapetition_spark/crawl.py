@@ -167,7 +167,9 @@ class CrawlEngine:
         urls = self.cat.read("urls", URLS)
         rescheduled = urls.withColumn(
             "in_frontier",
-            F.when(F.col("first_seen").isNull(), F.lit(1)).otherwise("in_frontier"),
+            F.when(F.col("first_seen").isNull(), F.lit(1)).otherwise(
+                F.col("in_frontier")
+            ),
         )
         self.cat.overwrite("urls", rescheduled)
 

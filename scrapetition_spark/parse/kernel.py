@@ -149,6 +149,77 @@ class ParseResult:
     pages_meta: DataFrame  # (url, encoding) — S2 sniff (Encoding.hs:16-41)
 
 
+def _comment_groups_map_side(pages: DataFrame) -> DataFrame:
+    """Per-comment raw field groups assembled INSIDE the span array —
+    zero shuffle (the exploded-groupBy formulation shuffles every span
+    of every page; at crawl scale that is the single largest exchange
+    of an epoch). Shape: enrich each span with its comment counter
+    (cseq), then for comment c = 1..n pick the first matching span per
+    role with array filter+get. O(roles · comments · spans) per page —
+    pages are tens of spans, so this stays cheap and fully inside
+    whole-stage codegen."""
+    body_ok = F.col("status").isNull() | (F.col("status") < 400)
+    if "status" in pages.columns:
+        pages = pages.filter(body_ok)
+    c_marker = SP.ROLE_COMMENT + SP.SEP
+
+    def enrich(x):
+        role = F.substring_index(x["text"], SP.SEP, 1)
+        payload = x["text"].substr(
+            F.length(F.substring_index(x["text"], SP.SEP, 1)) + 2, F.lit(1 << 30)
+        )
+        cseq = F.size(
+            F.filter(
+                F.col("spans"),
+                lambda y: y["text"].startswith(c_marker)
+                & (y["offset"] <= x["offset"]),
+            )
+        )
+        return F.struct(
+            x["kind"].alias("kind"),
+            role.alias("role"),
+            payload.alias("payload"),
+            x["media_ref"].alias("media_ref"),
+            x["offset"].alias("offset"),
+            cseq.alias("cseq"),
+        )
+
+    base = pages.select(
+        F.col("doc_id").alias("url"),
+        F.transform("spans", enrich).alias("__esp"),
+    )
+    n_c = F.size(F.filter("__esp", lambda s: s["role"] == SP.ROLE_COMMENT))
+
+    def mk_comment(c):
+        def pick(role, kind=None, attr="payload"):
+            def cond(s):
+                base_c = (s["cseq"] == c) & (s["role"] == role)
+                return base_c if kind is None else base_c & (s["kind"] == kind)
+
+            return F.get(F.filter("__esp", cond), 0)[attr]
+
+        return F.struct(
+            pick(SP.ROLE_COMMENT, attr="offset").alias("pos"),
+            pick(SP.ROLE_COMMENT).alias("id"),
+            pick(SP.ROLE_BODY).alias("body"),
+            pick(SP.ROLE_NAME, kind="media").alias("name_a"),
+            pick(SP.ROLE_NAME, kind="media", attr="media_ref").alias("name_href"),
+            pick(SP.ROLE_NAME, kind="text").alias("name_plain"),
+            pick(SP.ROLE_DATE).alias("date_text"),
+            pick(SP.ROLE_DATE, kind="media", attr="media_ref").alias("date_href"),
+            pick(SP.ROLE_ORIGIN, kind="media", attr="media_ref").alias("origin_href"),
+            pick(SP.ROLE_CID_INPUT).alias("cid_value"),
+            pick(SP.ROLE_REACTION).alias("fans"),
+        )
+
+    # sequence(1, max(n,1)): a 0-comment page yields one all-null
+    # entry, dropped by the id/body requirement below (sequence(1,0)
+    # would generate a DESCENDING range — never do that)
+    carr = F.transform(F.sequence(F.lit(1), F.greatest(n_c, F.lit(1))), mk_comment)
+    c = base.select("url", F.explode(carr).alias("__c")).select("url", "__c.*")
+    return c
+
+
 def parse_pages(pages: DataFrame, reuse: bool = False) -> ParseResult:
     """Run the full extraction plan. Dispatcher regex gating (C8) is
     applied later by the crawl layer — this kernel extracts every
@@ -158,39 +229,15 @@ def parse_pages(pages: DataFrame, reuse: bool = False) -> ParseResult:
     before the four frames derived from it — one window+aggregate
     execution instead of four when several sinks consume the result.
     """
-    # grouped view for comment/teaser assembly; plain view (no n²
-    # group counters) for page-level aggregates and URL collectors
+    # grouped view for teaser assembly; plain view (no n² group
+    # counters) for page-level aggregates and URL collectors. Comment
+    # assembly is map-side (_comment_groups_map_side) — neither view
+    # is evaluated unless teasers/articles are actually consumed.
     s = explode_spans(pages, with_groups=True)
     sp = explode_spans(pages)
 
     # ---- comments (P2; ZeitDe.hs:125-172) --------------------------------
-    c = (
-        s.filter(F.col("cseq") > 0)
-        .groupBy("url", "cseq")
-        .agg(
-            F.min("offset").alias("pos"),
-            _grp(SP.ROLE_COMMENT).alias("id"),
-            _grp(SP.ROLE_BODY).alias("body"),
-            F.max(
-                F.when(
-                    (F.col("role") == SP.ROLE_NAME) & (F.col("kind") == "media"),
-                    F.col("payload"),
-                )
-            ).alias("name_a"),
-            _grp(SP.ROLE_NAME, "media_ref").alias("name_href"),
-            F.max(
-                F.when(
-                    (F.col("role") == SP.ROLE_NAME) & (F.col("kind") == "text"),
-                    F.col("payload"),
-                )
-            ).alias("name_plain"),
-            _grp(SP.ROLE_DATE).alias("date_text"),
-            _grp(SP.ROLE_DATE, "media_ref").alias("date_href"),
-            _grp(SP.ROLE_ORIGIN, "media_ref").alias("origin_href"),
-            _grp(SP.ROLE_CID_INPUT).alias("cid_value"),
-            _grp(SP.ROLE_REACTION).alias("fans"),
-        )
-    )
+    c = _comment_groups_map_side(pages)
     emdash = SP.EMDASH
     # title = strip . takeWhile (/= '—')   (ZeitDe.hs:136-138)
     title = F.when(
@@ -275,10 +322,26 @@ def parse_pages(pages: DataFrame, reuse: bool = False) -> ParseResult:
     )
     # S2 encoding sniff (Encoding.hs:16-41): charset from the meta
     # content-type; null when absent (decoder then defaults to utf-8).
-    pages_meta = a.select(
-        "url",
+    # Map-side (first content-type span picked inside the array) so
+    # the per-epoch encoding join never shuffles the span frame.
+    body_ok = F.col("status").isNull() | (F.col("status") < 400)
+    meta_pages = pages.filter(body_ok) if "status" in pages.columns else pages
+
+    def _first_payload(role: str) -> F.Column:
+        def is_role(s):
+            return F.substring_index(s["text"], SP.SEP, 1) == role
+
+        s0 = F.get(F.filter("spans", is_role), 0)
+        return s0["text"].substr(
+            F.length(F.substring_index(s0["text"], SP.SEP, 1)) + 2, F.lit(1 << 30)
+        )
+
+    pages_meta = meta_pages.select(
+        F.col("doc_id").alias("url"),
         F.lower(
-            F.regexp_extract("content_type", r"charset=([A-Za-z0-9_\-]+)", 1)
+            F.regexp_extract(
+                _first_payload(SP.ROLE_CONTENT_TYPE), r"charset=([A-Za-z0-9_\-]+)", 1
+            )
         ).alias("enc_raw"),
     ).select(
         "url",

@@ -46,7 +46,7 @@ print("GENERATED")
 """
 
 RUNNER = r"""
-import json, sys, time, tempfile
+import json, shutil, sys, time, tempfile
 sys.path.insert(0, "/root/repo")
 from scrapetition_spark.session import get_spark
 from scrapetition_spark.config import CrawlConfig, Dispatcher
@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 cpus, path = sys.argv[1], sys.argv[2]
 spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=64)
-spark.range(10**6).select(F.avg("id")).collect()  # warm-up
+spark.range(10**6).select(F.avg("id")).collect()
 web = spark.read.parquet(path)
 cfg = CrawlConfig(
     start_domain="", follow_links=True, cross_domain=True,
@@ -65,16 +65,26 @@ cfg = CrawlConfig(
     dispatchers=(Dispatcher("bench", r"^https://h\d+\.test/.*", "comment",
                             url_collectors=("js-comment-loader", "pager__page")),),
 )
-cat = Catalog(spark, tempfile.mkdtemp(prefix=f"scale{cpus}-"))
-eng = CrawlEngine(spark, cat, cfg, web, expected_urls=1 << 22)
-eng.seed_frame(web.select(F.col("doc_id").alias("target"))
-                  .filter(F.xxhash64("doc_id") % 2 == 0))
-t0 = time.time()
-stats = eng.run(max_epochs=1)
-dt = time.time() - t0
-fetched = sum(s.urls_due for s in stats)
+
+# Two identical passes on fresh catalogs: the first warms the page
+# cache (386 MB input) + JIT + python workers and is DISCARDED — a
+# cold first pass measures the disk, not the engine (observed: 107 s
+# cold vs 77 s warm for the identical job). The second is reported.
+obs = []
+for attempt in range(2):
+    cat_dir = tempfile.mkdtemp(prefix=f"scale{cpus}-")
+    cat = Catalog(spark, cat_dir)
+    eng = CrawlEngine(spark, cat, cfg, web, expected_urls=1 << 22)
+    eng.seed_frame(web.select(F.col("doc_id").alias("target"))
+                      .filter(F.xxhash64("doc_id") % 2 == 0))
+    t0 = time.time()
+    stats = eng.run(max_epochs=1)
+    dt = time.time() - t0
+    obs.append((sum(s.urls_due for s in stats), dt))
+    shutil.rmtree(cat_dir, ignore_errors=True)
+fetched, dt = obs[-1]
 print(json.dumps({"cpus": int(cpus), "fetched": fetched, "seconds": dt,
-                  "ups": fetched / dt}))
+                  "ups": fetched / dt, "cold_seconds": obs[0][1]}))
 """
 
 
