@@ -107,6 +107,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = propagate_threads(comments, domain_col=None, with_depth=True)
         return out.select("id", "thread", "depth")
 
+    def c12b(spark, sf):
+        from scrapetition_spark.operators.threads import propagate_threads_recursive
+
+        comments = comments_from_events(_t(spark, sf, "events"))
+        return propagate_threads_recursive(comments).select("id", "thread", "depth")
+
     def a4(spark, sf):
         from scrapetition_spark.operators.threads import subthread
 
@@ -333,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c5_unseen_bloom": c5,
         "c9_politeness_queue": c9,
         "c12_thread_propagation": c12,
+        "c12b_threads_recursive_cte": c12b,
         "u1_url_scalars": u1,
         "d1_exact_dedup": d1,
         "d2_minhash_lsh": d2,
@@ -574,6 +581,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY priority, seq LIMIT 20
         """,
         "c12_thread_propagation": """
+            WITH RECURSIVE c AS (
+              SELECT 'c' || CAST(event_id AS VARCHAR) AS id,
+                     CASE WHEN event_id % 5 = 0 THEN NULL
+                          WHEN event_id % 97 = 3 THEN 'missing-' || CAST(event_id AS VARCHAR)
+                          ELSE 'c' || CAST(event_id - 1 AS VARCHAR) END AS parent
+              FROM events
+            ), t(id, thread, depth) AS (
+              SELECT id, id, 0 FROM c WHERE parent IS NULL
+              UNION ALL
+              SELECT c.id, t.thread, t.depth + 1 FROM c JOIN t ON c.parent = t.id
+            )
+            SELECT c.id, t.thread, CAST(t.depth AS INT) AS depth
+            FROM c LEFT JOIN t ON c.id = t.id
+        """,
+        "c12b_threads_recursive_cte": """
             WITH RECURSIVE c AS (
               SELECT 'c' || CAST(event_id AS VARCHAR) AS id,
                      CASE WHEN event_id % 5 = 0 THEN NULL

@@ -134,3 +134,34 @@ def subthread(
             break
         result = result.unionByName(children).localCheckpoint()
     return threads_df.join(result, [id_col], "left_semi")
+
+
+def propagate_threads_recursive(
+    df: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+) -> DataFrame:
+    """A1/A2 via Spark 4's ``WITH RECURSIVE`` (verified available in
+    this runtime): the declarative twin of ``propagate_threads`` —
+    Catalyst plans the fixpoint itself (UnionLoop), no driver-side
+    iteration or localCheckpoints. Semantics = the *view* form
+    (utils/threadview.sql:9-41): no duplicate-key collapse; orphans
+    (parent chain leaving the data) come back with thread NULL via
+    the outer join, matching the reference's progress-guard outcome
+    (Utils.hs:99-105)."""
+    spark = df.sparkSession
+    df.createOrReplaceTempView("__threads_in")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE t ({id_col}, thread, depth) AS (
+          SELECT {id_col}, {id_col}, 0
+          FROM __threads_in WHERE {parent_col} IS NULL
+          UNION ALL
+          SELECT c.{id_col}, t.thread, t.depth + 1
+          FROM __threads_in c JOIN t ON c.{parent_col} = t.{id_col}
+        )
+        SELECT c.{id_col}, c.{parent_col},
+               t.thread AS thread, CAST(t.depth AS INT) AS depth
+        FROM __threads_in c LEFT JOIN t ON c.{id_col} = t.{id_col}
+        """
+    )

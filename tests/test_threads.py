@@ -80,3 +80,33 @@ def test_subthread(spark):  # A4 (subthread.sh:63-69)
     ]
     out = subthread(_df(spark, rows), "4")
     assert {r["id"] for r in out.collect()} == {"4", "5", "6"}
+
+
+def test_recursive_cte_matches_iterative(spark):
+    """Spark 4 WITH RECURSIVE fast path ≡ the iterative fixpoint on
+    the same forest (roots, deep chains, orphans)."""
+    from scrapetition_spark.operators.threads import (
+        propagate_threads,
+        propagate_threads_recursive,
+    )
+
+    rows = [
+        ("a", None), ("b", "a"), ("c", "b"), ("d", "c"),  # deep chain
+        ("e", None), ("f", "e"),
+        ("x", "missing"), ("y", "x"),  # orphan subtree → thread NULL
+    ]
+    df = spark.createDataFrame(rows, ["id", "parent"]).withColumn(
+        "thread", F.lit(None).cast("string")
+    )
+    it = {
+        r["id"]: (r["thread"], r["depth"])
+        for r in propagate_threads(
+            df, domain_col=None, with_depth=True
+        ).collect()
+    }
+    rec = {
+        r["id"]: (r["thread"], r["depth"])
+        for r in propagate_threads_recursive(df).collect()
+    }
+    assert it == rec
+    assert rec["d"] == ("a", 3) and rec["x"] == (None, None)
