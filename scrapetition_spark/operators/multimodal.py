@@ -148,6 +148,8 @@ _FEATURES_SCHEMA = StructType(
         StructField("format", StringType()),
         StructField("histogram", ArrayType(DoubleType())),
         StructField("embedding", ArrayType(DoubleType())),
+        StructField("hist_counts", ArrayType(LongType())),
+        StructField("byte_sums", ArrayType(LongType())),
     ]
 )
 
@@ -156,34 +158,45 @@ def media_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
     """Feature extraction: byte histogram (normalized) + a fake
     content embedding (bin-wise byte means). Real pipelines put a
     vision/audio model here; the Spark contract — binary in, fixed-dim
-    float arrays out, Arrow batches — is identical."""
+    float arrays out, Arrow batches — is identical.
+
+    Alongside the float features the kernel emits the underlying
+    integer per-bin aggregates (``hist_counts``, ``byte_sums``) —
+    integer-exact across engines, so the correctness oracle compares
+    those instead of rounding-sensitive doubles."""
 
     sel = media.select("doc_id", "payload", F.col("media.format").alias("format"))
 
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        edges = np.linspace(0, 256, n_bins + 1)
         for b in batches:
             if len(b) == 0:
                 continue
-            hists, embs = [], []
+            hists, embs, hcounts, bsums = [], [], [], []
             for p in b["payload"]:
                 a = np.frombuffer(bytes(p), dtype=np.uint8)
                 if len(a) == 0:
                     hists.append([0.0] * n_bins)
                     embs.append([0.0] * n_bins)
+                    hcounts.append([0] * n_bins)
+                    bsums.append([0] * n_bins)
                     continue
-                h, _ = np.histogram(a, bins=edges)
-                hists.append((h / len(a)).round(6).tolist())
+                # one binning serves both features: byte b → bin
+                # b*n_bins//256 (== np.histogram over linspace edges)
                 idx = np.minimum((a.astype(np.int64) * n_bins) // 256, n_bins - 1)
-                sums = np.bincount(idx, weights=a, minlength=n_bins)
-                cnts = np.maximum(np.bincount(idx, minlength=n_bins), 1)
-                embs.append((sums / cnts / 255.0).round(6).tolist())
+                cnts = np.bincount(idx, minlength=n_bins)
+                sums = np.bincount(idx, weights=a, minlength=n_bins).astype(np.int64)
+                hists.append((cnts / len(a)).round(6).tolist())
+                embs.append((sums / np.maximum(cnts, 1) / 255.0).round(6).tolist())
+                hcounts.append(cnts.astype(np.int64).tolist())
+                bsums.append(sums.tolist())
             yield pd.DataFrame(
                 {
                     "doc_id": b["doc_id"],
                     "format": b["format"],
                     "histogram": hists,
                     "embedding": embs,
+                    "hist_counts": hcounts,
+                    "byte_sums": bsums,
                 }
             )
 

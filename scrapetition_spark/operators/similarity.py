@@ -68,25 +68,30 @@ def cosine_topk(
     )
 
 
-def lsh_sketch(embeddings: DataFrame, n_planes: int = 16, seed: int = 7) -> DataFrame:
-    """Sign sketch: bit i = sign(dot(v, plane_i)), planes derived from
-    xxhash64(i, j, seed) mapped to [-0.5, 0.5) per dimension — fully
-    deterministic, computed inline (no stored model)."""
+def _plane_component(seed: int, i: int, j: Column) -> Column:
+    """Deterministic pseudo-random plane component in [-0.5, 0.5):
+    derived from the md5 hex prefix of ``"seed|plane|dim"`` so ANY
+    engine with md5 + substring reproduces the identical plane (the
+    DuckDB oracle mirrors this expression verbatim — an xxhash64
+    derivation would be Spark-only and unverifiable). ``j`` is the
+    1-based dimension index."""
+    s = F.concat(F.lit(f"{seed}|{i}|"), j.cast("string"))
+    h = F.conv(F.substring(F.md5(s), 1, 6), 16, 10).cast("long")
+    return (h % 10_000).cast("double") / 10_000.0 - 0.5
+
+
+def sketch_expr(n_planes: int, seed: int) -> Column:
+    """Sign-sketch column over ``embedding``: bit i =
+    sign(dot(v, plane_i)) with md5-derived planes."""
     dim = F.size("embedding")
     emb = F.col("embedding")
-
-    def plane_component(i: int, j: Column) -> Column:
-        h = F.xxhash64(F.lit(i), j, F.lit(seed))
-        return (F.pmod(h, F.lit(10_000)).cast("double") / 10_000.0) - 0.5
+    def _mult(i: int):
+        return lambda x, j: x.cast("double") * _plane_component(seed, i, j)
 
     bits = []
     for i in range(n_planes):
         dot_i = F.aggregate(
-            F.zip_with(
-                emb,
-                F.sequence(F.lit(0), dim - 1),
-                lambda x, j: x.cast("double") * plane_component(i, j),
-            ),
+            F.zip_with(emb, F.sequence(F.lit(1), dim), _mult(i)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -94,7 +99,29 @@ def lsh_sketch(embeddings: DataFrame, n_planes: int = 16, seed: int = 7) -> Data
     sketch = bits[0]
     for b in bits[1:]:
         sketch = sketch + b
-    return embeddings.select("vec_id", "embedding", sketch.alias("sketch"))
+    return sketch
+
+
+def lsh_sketch(embeddings: DataFrame, n_planes: int = 16, seed: int = 7) -> DataFrame:
+    """Sign sketch: bit i = sign(dot(v, plane_i)), planes derived
+    deterministically from md5 (see ``_plane_component``) — computed
+    inline, no stored model, reproducible across engines."""
+    return embeddings.select(
+        "vec_id", "embedding", sketch_expr(n_planes, seed).alias("sketch")
+    )
+
+
+def lsh_sketch_tables(
+    embeddings: DataFrame, n_planes: int = 8, n_tables: int = 8, seed0: int = 7
+) -> DataFrame:
+    """All ``n_tables`` independent sketches in ONE corpus pass:
+    (vec_id, embedding, table, sketch) via posexplode — downstream
+    candidate generation is a single self-join on (table, sketch)
+    instead of ``n_tables`` separate joins."""
+    sketches = F.array(*[sketch_expr(n_planes, seed0 + t) for t in range(n_tables)])
+    return embeddings.select(
+        "vec_id", "embedding", F.posexplode(sketches).alias("table", "sketch")
+    )
 
 
 def ann_lsh_topk(
@@ -105,26 +132,29 @@ def ann_lsh_topk(
     n_tables: int = 8,
     round_to: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: union of ``n_tables`` independent sign
-    sketches (different seeds), candidates = sketch-equal pairs,
+    """Approximate top-k: ``n_tables`` independent sign sketches
+    (different seeds) computed in one corpus pass, candidates =
+    sketch-equal pairs via a single (table, sketch) bucket join,
     exact cosine on the candidates only."""
     from pyspark.sql import Window
 
-    cands = None
-    for t in range(n_tables):
-        sk = lsh_sketch(embeddings, n_planes, seed=7 + t)
-        q = sk.filter(F.col("vec_id").isin(query_ids)).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("sketch").alias("q_sketch"),
-        )
-        c = sk.join(
+    sk = lsh_sketch_tables(embeddings, n_planes, n_tables)
+    q = sk.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("table").alias("q_table"),
+        F.col("sketch").alias("q_sketch"),
+    )
+    cands = (
+        sk.join(
             F.broadcast(q),
-            (F.col("sketch") == F.col("q_sketch"))
+            (F.col("table") == F.col("q_table"))
+            & (F.col("sketch") == F.col("q_sketch"))
             & (F.col("vec_id") != F.col("query_id")),
-        ).select("query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "embedding")
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+        )
+        .select("query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "embedding")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     sims = cands.select(
         "query_id",
         "neighbor_id",

@@ -75,6 +75,92 @@ def test_simhash_planted_near_dup(spark, docs):
     assert (9201, 9202) in pairs
 
 
+def _py_simhash(text: str, bits: int = 32) -> int:
+    """Pure-Python mirror of dedup.simhash (md5 hex-char parity +
+    majority vote) for ground-truth recall checks."""
+    import hashlib
+
+    votes = [0] * bits
+    for tok in text.split(" "):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        for i in range(bits):
+            votes[i] += 1 if ord(h[i]) % 2 == 1 else -1
+    return sum(1 << i for i in range(bits) if votes[i] > 0)
+
+
+def test_simhash_banding_full_recall(spark, docs):
+    """The pigeonhole contract: EVERY pair within max_hamming is
+    found (this is the recall bug VERDICT r01 flagged — 4 fixed bands
+    silently missed distances 4-12). Ground truth = brute force over
+    pure-Python signatures; includes planted mid-distance pairs."""
+    from scrapetition_spark.operators.dedup import simhash_near_dups
+
+    rows = docs.select("doc_id", "text").collect()
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    sigs = {d: _py_simhash(t) for d, t in texts.items()}
+    for max_h in (3, 10):
+        want = {
+            (a, b)
+            for a in sigs
+            for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= max_h
+        }
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in simhash_near_dups(docs, max_hamming=max_h).collect()
+        }
+        assert got == want, f"max_hamming={max_h}: {len(want - got)} missed"
+    # sanity: the corpus actually exercises the mid-distance range
+    assert any(
+        0 < bin(sigs[a] ^ sigs[b]).count("1") <= 10
+        for a in sigs for b in sigs if a < b
+    )
+
+
+def test_d5_default_is_not_all_pairs(spark, emb):
+    """The default embedding near-dup plan must never contain a
+    cartesian/nested-loop join (the O(n²) shape VERDICT r01 flagged);
+    only exact=True may."""
+    from scrapetition_spark.operators.dedup import embedding_cosine_neardups
+
+    plan = embedding_cosine_neardups(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    exact_plan = (
+        embedding_cosine_neardups(emb, exact=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" in exact_plan or "BroadcastNestedLoopJoin" in exact_plan
+
+
+def test_d5_lsh_recall_planted(spark, emb):
+    """LSH-pruned near-dups find planted high-cosine pairs: each
+    planted twin is the base vector with one coordinate nudged
+    (cos ≥ 0.95), recall vs the exact path ≥ 0.8 at 8×8."""
+    from scrapetition_spark.operators.dedup import embedding_cosine_neardups
+
+    base = emb.filter(F.col("vec_id") < 20)
+    twins = base.select(
+        (F.col("vec_id") + 90000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0))
+        ).cast("array<float>").alias("embedding"),
+        "label",
+    )
+    corpus = base.unionByName(twins).localCheckpoint()
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_cosine_neardups(corpus, threshold=0.95, exact=True).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_cosine_neardups(corpus, threshold=0.95).collect()
+    }
+    assert len(exact) >= 20  # the planted pairs are really there
+    assert approx <= exact
+    assert len(approx & exact) / len(exact) >= 0.8
+
+
 def test_ann_lsh_recall(spark, emb):
     """ANN top-5 recall vs brute force ≥ 0.4 on sf0.001 (random
     embeddings are the worst case for LSH; the planted-structure
