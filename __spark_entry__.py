@@ -103,8 +103,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return A.a3_graph_bfs(_t(spark, sf, "orders"), _t(spark, sf, "lineitem"))
 
     def c12(spark, sf):
+        # default strategy (auto → recursive-CTE UnionLoop plan)
         comments = comments_from_events(_t(spark, sf, "events"))
         out = propagate_threads(comments, domain_col=None, with_depth=True)
+        return out.select("id", "thread", "depth")
+
+    def c12c(spark, sf):
+        # the delta-frontier iterative fallback, pinned, so both
+        # fixpoint implementations stay oracle-verified
+        comments = comments_from_events(_t(spark, sf, "events"))
+        out = propagate_threads(
+            comments, domain_col=None, with_depth=True, strategy="iterative"
+        )
         return out.select("id", "thread", "depth")
 
     def c12b(spark, sf):
@@ -140,12 +150,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("host").alias("r_host"), "path_prefix"
         )
         cand = u.filter(~F.col("is_seen"))
+        # host + path-component match (scheme-independent)
+        path = F.regexp_extract(
+            cand["url"], r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+        )
         hit = cand.join(
             deny,
             (cand["host"] == deny["r_host"])
-            & cand["url"].startswith(
-                F.concat(F.lit("https://"), deny["r_host"], deny["path_prefix"])
-            ),
+            & path.startswith(deny["path_prefix"]),
             "left_semi",
         )
         return (
@@ -287,6 +299,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def t4(spark, sf):
         return T.language_guess(_t(spark, sf, "documents"))
 
+    def s12(spark, sf):
+        # S12 parametric WHERE scan (URL.hs:47-53, Sql.hs:117-146)
+        from scrapetition_spark.plans.frontier import select_urls_where
+
+        u = urls_from_documents(_t(spark, sf, "documents"))
+        return select_urls_where(
+            u, "NOT is_seen AND priority < 3", select="url, host, priority"
+        )
+
     def crawl_epoch(spark, sf):
         """One wide crawl epoch over a deterministic synthetic web
         (rows-only check: bloom/politeness/parse are not SQL)."""
@@ -354,7 +375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c9_politeness_queue": c9,
         "c12_thread_propagation": c12,
         "c12b_threads_recursive_cte": c12b,
+        "c12c_threads_delta": c12c,
         "u1_url_scalars": u1,
+        "s12_urls_where": s12,
         "d1_exact_dedup": d1,
         "d2_minhash_lsh": d2,
         "d3_ngram_jaccard": d3,
@@ -671,6 +694,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.id, t.thread, CAST(t.depth AS INT) AS depth
             FROM c LEFT JOIN t ON c.id = t.id
         """,
+        "c12c_threads_delta": """
+            WITH RECURSIVE c AS (
+              SELECT 'c' || CAST(event_id AS VARCHAR) AS id,
+                     CASE WHEN event_id % 5 = 0 THEN NULL
+                          WHEN event_id % 97 = 3 THEN 'missing-' || CAST(event_id AS VARCHAR)
+                          ELSE 'c' || CAST(event_id - 1 AS VARCHAR) END AS parent
+              FROM events
+            ), t(id, thread, depth) AS (
+              SELECT id, id, 0 FROM c WHERE parent IS NULL
+              UNION ALL
+              SELECT c.id, t.thread, t.depth + 1 FROM c JOIN t ON c.parent = t.id
+            )
+            SELECT c.id, t.thread, CAST(t.depth AS INT) AS depth
+            FROM c LEFT JOIN t ON c.id = t.id
+        """,
         "c12b_threads_recursive_cte": """
             WITH RECURSIVE c AS (
               SELECT 'c' || CAST(event_id AS VARCHAR) AS id,
@@ -701,6 +739,11 @@ def oracle_sql() -> dict[str, str]:
                                           len(string_split(url, '#')))
                         ELSE url END AS frag_or_url
             FROM urls WHERE doc_id < 200
+        """,
+        "s12_urls_where": f"""
+            WITH {_URLS_CTE.strip()}
+            SELECT url, host, priority FROM urls
+            WHERE NOT is_seen AND priority < 3
         """,
         "d1_exact_dedup": """
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc,

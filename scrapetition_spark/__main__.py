@@ -26,7 +26,11 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="scrapetition_spark")
-    p.add_argument("--catalog", required=True, help="catalog root directory")
+    p.add_argument("--catalog", default=None, help="catalog root directory")
+    p.add_argument("--raw", action="store_true",
+                   help="S5 raw output mode (app/Main.hs:232-237): run "
+                        "the scrapers, print extracted items, persist "
+                        "NOTHING (state goes to a discarded temp dir)")
     p.add_argument("--documents", required=True, help="documents parquet path")
     p.add_argument("-u", "--url", help="seed URL (crawl SingleUrl)")
     p.add_argument("-d", "--resume", action="store_true",
@@ -75,11 +79,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     documents = spark.read.parquet(args.documents)
     robots = spark.read.parquet(args.robots) if args.robots else None
-    eng = CrawlEngine(spark, Catalog(spark, args.catalog), cfg, documents, robots=robots)
+
+    import shutil
+    import tempfile
+
+    if args.raw:
+        cat_dir = tempfile.mkdtemp(prefix="scrapetition-raw-")
+    elif args.catalog:
+        cat_dir = args.catalog
+    else:
+        p.error("need --catalog (or --raw)")
+    eng = CrawlEngine(spark, Catalog(spark, cat_dir), cfg, documents, robots=robots)
 
     if args.url:
         eng.seed([args.url])
-    elif args.resume:
+    elif args.resume and not args.raw:
         eng.resume_not_seen()
     else:
         p.error("need -u URL or -d (resume)")
@@ -91,6 +105,24 @@ def main(argv: list[str] | None = None) -> int:
         "urls_discovered": sum(s.urls_discovered for s in stats),
         "seconds": round(sum(s.duration_ms for s in stats) / 1000.0, 2),
     }
+    if args.raw:
+        # ≙ runScrapersRaw: show what the scrapers extracted, keep none
+        # of it (the temp catalog is deleted below)
+        from scrapetition_spark.schemas import (
+            ARTICLES, COMMENTS, URLS_SEEN, USERS, VOTES,
+        )
+
+        counts = {}
+        for tbl, schema in (
+            ("comments", COMMENTS), ("users", USERS), ("votes", VOTES),
+            ("articles", ARTICLES), ("urls_seen", URLS_SEEN),
+        ):
+            frame = eng.cat.read(tbl, schema)
+            counts[tbl] = frame.count()
+            frame.show(10, truncate=60)
+        out["raw"] = True
+        out["items"] = counts
+        shutil.rmtree(cat_dir, ignore_errors=True)
     print(json.dumps(out))
     return 0
 

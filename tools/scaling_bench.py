@@ -80,11 +80,13 @@ for attempt in range(2):
     t0 = time.time()
     stats = eng.run(max_epochs=1)
     dt = time.time() - t0
-    obs.append((sum(s.urls_due for s in stats), dt))
+    obs.append((sum(s.urls_due for s in stats), dt,
+                stats[0].stage_seconds if stats else {}))
     shutil.rmtree(cat_dir, ignore_errors=True)
-fetched, dt = obs[-1]
+fetched, dt, stages = obs[-1]
 print(json.dumps({"cpus": int(cpus), "fetched": fetched, "seconds": dt,
-                  "ups": fetched / dt, "cold_seconds": obs[0][1]}))
+                  "ups": fetched / dt, "cold_seconds": obs[0][1],
+                  "stages": stages}))
 """
 
 
@@ -136,7 +138,7 @@ def main() -> None:
 
     fetched = best[levels[0]]["fetched"]
     lines = [
-        "# BENCH — measured baseline (round 1)",
+        "# BENCH — measured baseline",
         "",
         "## Scaling efficiency N → 4N (north rule)",
         "",
@@ -173,6 +175,31 @@ def main() -> None:
             "URL discovery, hash-agg MERGE dedup, bin-packed commits) has",
             "no serial section beyond the driver loop.",
         ]
+    stage_labels = ["due", "fetch", "parse", "discovered", "sinks"]
+    if any(best[c].get("stages") for c in levels):
+        lines += [
+            "",
+            "## Per-stage wall seconds (warm rep) — where each level spends time",
+            "",
+            "| level | " + " | ".join(stage_labels) + " | other |",
+            "|---|" + "---|" * (len(stage_labels) + 1),
+        ]
+        for c in levels:
+            st = best[c].get("stages") or {}
+            other = best[c]["seconds"] - sum(st.get(k, 0.0) for k in stage_labels)
+            lines.append(
+                f"| local[{c}] | "
+                + " | ".join(f"{st.get(k, 0.0):.1f}" for k in stage_labels)
+                + f" | {other:.1f} |"
+            )
+        lines += [
+            "",
+            "Reading the 8→32 pair stage-by-stage shows which stages still",
+            "scale on shared hardware and which saturate (sinks/commits hit",
+            "one filesystem; fetch/parse are CPU-bound and keep scaling) —",
+            "the quantitative backing for the gVisor/shared-JVM explanation",
+            "of the flattened top pair.",
+        ]
     lines += [
         "",
         "## Reference comparison",
@@ -183,6 +210,18 @@ def main() -> None:
         "reference's budget is global), engine throughput above is raw",
         "pipeline speed; a politeness-equivalent deployment fetches",
         "min(#due hosts × budget / 2 s, pipeline rate) URLs/s.",
+        "",
+        "## Ordering semantics of the measured numbers",
+        "",
+        "Sequential mode (1 URL/epoch) reproduces the reference's crawl",
+        "order bit-for-bit (simulator-verified). The wide-epoch numbers",
+        "above use the documented relaxation: everything due in one epoch",
+        "is fetched 'simultaneously' — fetch_seq is bucket-major, exact",
+        "within each host (the politeness invariant), NOT a global",
+        "lineage-key order across hosts. The final seen *set*, url set",
+        "and item sets are identical to the reference's; only cross-host",
+        "interleaving differs. Do not read the wide-epoch throughput as",
+        "bit-exact-global-order throughput.",
         "",
         f"_Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by tools/scaling_bench.py_",
     ]
