@@ -68,7 +68,11 @@ def run_crawl(spark, n_docs: int, n_hosts: int, epochs: int) -> tuple[int, float
     stats = eng.run(max_epochs=epochs)
     dt = time.time() - t0
     fetched = sum(s.urls_due for s in stats)
-    return fetched, dt
+    stages: dict[str, float] = {}
+    for s in stats:
+        for k, v in (s.stage_seconds or {}).items():
+            stages[k] = round(stages.get(k, 0.0) + v, 2)
+    return fetched, dt, stages
 
 
 def main() -> None:
@@ -111,7 +115,9 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
 
     crawl_docs = int(os.environ.get("SPARK_GRAFT_CRAWL_DOCS", "200000"))
-    fetched, crawl_sec = run_crawl(spark, crawl_docs, n_hosts=2000, epochs=2)
+    fetched, crawl_sec, crawl_stages = run_crawl(
+        spark, crawl_docs, n_hosts=2000, epochs=2
+    )
     times["crawl_wide_epochs"] = round(crawl_sec, 3)
     urls_per_sec = round(fetched / crawl_sec, 1) if crawl_sec > 0 else 0.0
 
@@ -124,7 +130,8 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "crawl": {"docs": crawl_docs, "fetched": fetched,
-                          "seconds": round(crawl_sec, 2), "cpus": int(cpus)},
+                          "seconds": round(crawl_sec, 2), "cpus": int(cpus),
+                          "stages": crawl_stages},
             }
         )
     )

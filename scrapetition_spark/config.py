@@ -104,6 +104,9 @@ class CrawlConfig:
     # (local default 16 keeps file counts sane; production = up to
     # n_host_buckets so per-epoch commit cost stays O(epoch activity))
     n_commit_buckets: int = 16
+    # epochs touching ≥ this fraction of commit buckets use a plain
+    # consolidated urls rewrite instead of a partition-scoped commit
+    commit_dense_fraction: float = 0.5
     n_frontier_salts: int = 8  # hot-host two-phase top-K (1 = off)
     sequential: bool = False  # 1 URL/epoch: bit-exact reference ordering
     respect_robots: bool = False  # north-rule addition (absent in reference)

@@ -102,22 +102,21 @@ class Catalog:
         os.replace(tmp, self._head_path(table))  # atomic pointer swap
         return sid
 
-    def _out_partitions(self, df: DataFrame) -> int:
-        """Output file count for a commit: the configured floor, but
-        scaling with the input's parallelism for genuinely large
-        commits instead of a hard cap (Iceberg's bin-packing is
-        size-based; partition count is our sandbox proxy for it)."""
-        nin = max(1, df.rdd.getNumPartitions())
-        if nin <= 4 * self.write_partitions:
-            return min(nin, self.write_partitions)
-        return min(nin // 4, 64)
-
-    def _write_files(self, table: str, df: DataFrame) -> list[str]:
+    def _write_files(
+        self, table: str, df: DataFrame, hint_partitions: int | None = None
+    ) -> list[str]:
         """Write df as new parquet files inside the table's data dir;
-        returns their paths. Existing files are never touched."""
+        returns their paths. Existing files are never touched.
+        ``hint_partitions`` lets a caller that knows a commit is
+        genuinely large raise the file fan-out above the configured
+        floor (the sandbox proxy for Iceberg's size-based
+        bin-packing; probing df.rdd for its partition count here
+        would force AQE query-stage execution — a hidden double-run
+        of the whole plan — so sizing is explicit, not inferred)."""
         part = f"part-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self._tdir(table), "data", part)
-        df.coalesce(self._out_partitions(df)).write.mode("overwrite").parquet(out)
+        n = max(self.write_partitions, hint_partitions or 0)
+        df.coalesce(n).write.mode("overwrite").parquet(out)
         return [out]
 
     # ----- public API -------------------------------------------------------
@@ -204,7 +203,7 @@ class Catalog:
         # __part is hoisted into directory names and stripped from the
         # data files, so a derived bucket expression never pollutes
         # the table schema
-        n = max(1, min(self._out_partitions(df), 64))
+        n = max(1, min(self.write_partitions * 2, 64))
         (
             df.withColumn("__part", expr)
             .repartition(n, F.col("__part"))
