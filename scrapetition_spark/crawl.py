@@ -515,11 +515,39 @@ class CrawlEngine:
         if debug:
             print(f"[epoch {epoch}] due={n_due} " +
                   " ".join(f"{l}={s:.1f}s" for l, s in marks), flush=True)
+        snap = self.cat.head("urls_seen")
         metrics = self.spark.createDataFrame(
-            [(epoch, n_due, n_due, n_discovered, None, dur, self.cat.head("urls_seen"))],
+            [(epoch, n_due, n_due, n_discovered, None, dur, snap)],
             CRAWL_METRICS,
         )
-        self.cat.append("crawl_metrics", metrics)
+        self.cat.append("crawl_metrics", metrics, hint_partitions=1)
+
+        # per-partition lineage/metrics (north rule): which host
+        # buckets this epoch's fetches and discoveries landed in,
+        # keyed to the snapshot — the audit trail for exact resume.
+        due_b = due.groupBy("host_bucket").agg(F.count("*").alias("urls_due"))
+        if disc is not None and n_discovered > 0:
+            disc_b = disc.groupBy(
+                host_bucket(
+                    url_domain(F.col("target")), cfg.n_host_buckets
+                ).alias("host_bucket")
+            ).agg(F.count("*").alias("urls_discovered"))
+            bucket_m = due_b.join(disc_b, ["host_bucket"], "full_outer")
+        else:
+            bucket_m = due_b.withColumn(
+                "urls_discovered", F.lit(None).cast("long")
+            )
+        self.cat.append(
+            "crawl_metrics_buckets",
+            bucket_m.select(
+                F.lit(epoch).cast("int").alias("epoch"),
+                F.col("host_bucket").cast("int"),
+                F.coalesce(F.col("urls_due"), F.lit(0)).cast("long").alias("urls_due"),
+                F.col("urls_discovered").cast("long"),
+                F.lit(snap).cast("long").alias("snapshot_id"),
+            ),
+            hint_partitions=1,
+        )
         return EpochStats(epoch, n_due, n_discovered, dur, stage_seconds())
 
     def _rewrite_urls(

@@ -182,6 +182,20 @@ CRAWL_METRICS = StructType(
     ]
 )
 
+# per-partition (host-bucket) epoch metrics — the north rule asks for
+# "per-partition lineage/metrics" at each checkpoint, not just the
+# per-epoch roll-up above: which buckets fetched/discovered how much,
+# tied to the snapshot id for exact-resume auditing.
+CRAWL_METRICS_BUCKETS = StructType(
+    [
+        StructField("epoch", IntegerType(), False),
+        StructField("host_bucket", IntegerType(), False),
+        StructField("urls_due", LongType(), True),
+        StructField("urls_discovered", LongType(), True),
+        StructField("snapshot_id", LongType(), True),
+    ]
+)
+
 # robots — north-rule addition (absent in the reference; SURVEY §4.1):
 # deny rules joined as a filter during due-set planning.
 ROBOTS = StructType(
@@ -212,5 +226,6 @@ TABLE_SCHEMAS: dict[str, StructType] = {
     "votes": VOTES,
     "articles": ARTICLES,
     "crawl_metrics": CRAWL_METRICS,
+    "crawl_metrics_buckets": CRAWL_METRICS_BUCKETS,
     "robots": ROBOTS,
 }

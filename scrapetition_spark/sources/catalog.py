@@ -115,7 +115,7 @@ class Catalog:
         of the whole plan — so sizing is explicit, not inferred)."""
         part = f"part-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self._tdir(table), "data", part)
-        n = max(self.write_partitions, hint_partitions or 0)
+        n = hint_partitions if hint_partitions else self.write_partitions
         df.coalesce(n).write.mode("overwrite").parquet(out)
         return [out]
 
@@ -141,14 +141,18 @@ class Catalog:
     def overwrite(self, table: str, df: DataFrame) -> int:
         return self._commit(table, self._write_files(table, df), parts={})
 
-    def append(self, table: str, df: DataFrame) -> int:
+    def append(
+        self, table: str, df: DataFrame, hint_partitions: int | None = None
+    ) -> int:
         prev_files: list[str] = []
         prev_parts: dict[str, list[str]] = {}
         if self.exists(table):
             prev = self._snapshot(table, self.head(table))
             prev_files, prev_parts = prev.files, prev.parts
         return self._commit(
-            table, prev_files + self._write_files(table, df), parts=prev_parts
+            table,
+            prev_files + self._write_files(table, df, hint_partitions),
+            parts=prev_parts,
         )
 
     def empty_commit(self, table: str) -> int:

@@ -213,3 +213,29 @@ def test_export_tsv_roundtrip(spark):
     many = export_tsv(edges, os.path.join(d, "edges_dir"))
     assert os.path.isdir(many)
     assert read_tsv(spark, many).count() == 2
+
+
+def test_per_bucket_metrics(spark):
+    """North rule: per-partition lineage/metrics at every checkpoint —
+    bucket-level due/discovered counts must sum to the epoch totals."""
+    from scrapetition_spark.schemas import CRAWL_METRICS, CRAWL_METRICS_BUCKETS
+
+    docs = documents_df(spark, fixture_site())
+    cfg = CrawlConfig("www.zeit.de", follow_links=True, politeness_sec=0,
+                      per_host_budget=4)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="bucketmetrics-"))
+    eng = CrawlEngine(spark, cat, cfg, docs, use_bloom=False)
+    eng.seed(["https://www.zeit.de/politik/2020-01/art-a"])
+    stats = eng.run(max_epochs=3)
+
+    per_epoch = {r["epoch"]: r for r in cat.read("crawl_metrics", CRAWL_METRICS).collect()}
+    buckets = cat.read("crawl_metrics_buckets", CRAWL_METRICS_BUCKETS).collect()
+    by_epoch: dict[int, list] = {}
+    for r in buckets:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    for ep, rows in by_epoch.items():
+        assert sum(r["urls_due"] for r in rows) == per_epoch[ep]["urls_due"]
+        disc = sum(r["urls_discovered"] or 0 for r in rows)
+        assert disc == per_epoch[ep]["urls_discovered"]
+        # snapshot-keyed: every bucket row carries the epoch's snapshot
+        assert all(r["snapshot_id"] == per_epoch[ep]["snapshot_id"] for r in rows)

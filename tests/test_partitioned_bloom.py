@@ -110,3 +110,39 @@ def test_crawl_partitioned_bloom_same_state(spark):
     assert u_g == u_p
     assert cat_p.exists("bloom_sidecar")
     assert cat_p.read("bloom_sidecar", BLOOM_SIDECAR).count() > 0
+
+
+def test_crawl_partitioned_bloom_resume(spark):
+    """Interrupt after 2 epochs, resume with a FRESH engine (sidecar
+    rebuilt from urls_seen if absent; here it exists and is reused):
+    final state equals an uninterrupted run."""
+    from scrapetition_spark.config import CrawlConfig
+    from scrapetition_spark.crawl import CrawlEngine
+    from scrapetition_spark.schemas import URLS_SEEN
+    from scrapetition_spark.sources.catalog import Catalog
+    from scrapetition_spark.sources.fixtures import documents_df, fixture_site
+
+    docs = documents_df(spark, fixture_site()).localCheckpoint()
+    seed = "https://www.zeit.de/politik/2020-01/art-a"
+    cfg = CrawlConfig("www.zeit.de", follow_links=True, politeness_sec=0,
+                      per_host_budget=4)
+
+    cat1 = Catalog(spark, tempfile.mkdtemp(prefix="bloomres1-"))
+    eng = CrawlEngine(spark, cat1, cfg, docs, bloom_mode="partitioned",
+                      expected_urls=1 << 12)
+    eng.seed([seed])
+    eng.run()
+    want = {(r["url"], r["fetch_seq"]) for r in
+            cat1.read("urls_seen", URLS_SEEN).collect()}
+
+    cat2 = Catalog(spark, tempfile.mkdtemp(prefix="bloomres2-"))
+    eng2 = CrawlEngine(spark, cat2, cfg, docs, bloom_mode="partitioned",
+                       expected_urls=1 << 12)
+    eng2.seed([seed])
+    eng2.run(max_epochs=2)  # interrupted
+    eng3 = CrawlEngine(spark, cat2, cfg, docs, bloom_mode="partitioned",
+                       expected_urls=1 << 12)
+    eng3.run()  # fresh engine, same catalog
+    got = {(r["url"], r["fetch_seq"]) for r in
+           cat2.read("urls_seen", URLS_SEEN).collect()}
+    assert got == want
