@@ -212,6 +212,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bloom = BloomFilter.empty(8192, 16).build_from(seen)
         return unseen(cand, seen, bloom)
 
+    def c5b(spark, sf):
+        # same exact unseen-set contract through the PARTITIONED bloom
+        # sidecar (bucket-local build + cogroup probe): false
+        # positives verify exactly, so the result — and therefore the
+        # oracle — is identical to c5's
+        from scrapetition_spark.plans.seen import (
+            PartitionedBloom,
+            PartitionedBloomView,
+        )
+
+        u = urls_from_documents(_t(spark, sf, "documents")).withColumn(
+            "host_bucket", F.pmod(F.xxhash64("host"), F.lit(32)).cast("int")
+        )
+        cand = u.filter(F.col("doc_id") % 2 == 0).select("url", "host_bucket")
+        seen = u.filter(F.col("is_seen")).select("url", "host_bucket")
+        pb = PartitionedBloom(expected_keys=8192, bits_per_key=16, n_buckets=32)
+        sidecar = pb.build(seen)
+        out = unseen(cand, seen.select("url"), PartitionedBloomView(pb, sidecar))
+        return out.select("url")
+
     def u1(spark, sf):
         from scrapetition_spark.functions.urls import (
             drop_fragment,
@@ -372,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_due_set": c1,
         "c3_frontier_merge_fifo": c3,
         "c5_unseen_bloom": c5,
+        "c5b_unseen_partitioned_bloom": c5b,
         "c9_politeness_queue": c9,
         "c12_thread_propagation": c12,
         "c12b_threads_recursive_cte": c12b,
@@ -664,6 +685,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT target, epoch, seq, pos FROM ranked WHERE rn = 1
         """,
         "c5_unseen_bloom": f"""
+            WITH {_URLS_CTE.strip()}
+            SELECT url FROM urls
+            WHERE doc_id % 2 = 0
+              AND url NOT IN (SELECT url FROM urls WHERE is_seen)
+        """,
+        "c5b_unseen_partitioned_bloom": f"""
             WITH {_URLS_CTE.strip()}
             SELECT url FROM urls
             WHERE doc_id % 2 = 0

@@ -494,6 +494,39 @@ class CrawlEngine:
                     delta = self.pbloom.or_merge(delta)
                 self.cat.overwrite("bloom_sidecar", delta)
 
+        def _seen_and_bucket_metrics():
+            # one worker: seen append first, then the per-partition
+            # lineage/metrics rows (north rule) keyed to the snapshot
+            # the append just created — sequenced inside the task so
+            # the pool's other jobs can't race the snapshot id.
+            self.cat.append("urls_seen", seen_batch)
+            snap = self.cat.head("urls_seen")
+            due_b = due.groupBy("host_bucket").agg(F.count("*").alias("urls_due"))
+            if disc is not None and n_discovered > 0:
+                disc_b = disc.groupBy(
+                    host_bucket(
+                        url_domain(F.col("target")), cfg.n_host_buckets
+                    ).alias("host_bucket")
+                ).agg(F.count("*").alias("urls_discovered"))
+                bucket_m = due_b.join(disc_b, ["host_bucket"], "full_outer")
+            else:
+                bucket_m = due_b.withColumn(
+                    "urls_discovered", F.lit(None).cast("long")
+                )
+            self.cat.append(
+                "crawl_metrics_buckets",
+                bucket_m.select(
+                    F.lit(epoch).cast("int").alias("epoch"),
+                    F.col("host_bucket").cast("int"),
+                    F.coalesce(F.col("urls_due"), F.lit(0))
+                    .cast("long").alias("urls_due"),
+                    F.col("urls_discovered").cast("long"),
+                    F.lit(snap).cast("long").alias("snapshot_id"),
+                ),
+                hint_partitions=1,
+            )
+            return snap
+
         with ThreadPoolExecutor(max_workers=8) as pool:
             futs = [
                 pool.submit(
@@ -504,7 +537,8 @@ class CrawlEngine:
             futs.append(
                 pool.submit(self._rewrite_urls, urls_now, fetched, disc, followed, epoch)
             )
-            futs.append(pool.submit(self.cat.append, "urls_seen", seen_batch))
+            snap_fut = pool.submit(_seen_and_bucket_metrics)
+            futs.append(snap_fut)
             futs.append(pool.submit(_bloom_task))
             for f in futs:
                 f.result()  # propagate failures
@@ -515,39 +549,11 @@ class CrawlEngine:
         if debug:
             print(f"[epoch {epoch}] due={n_due} " +
                   " ".join(f"{l}={s:.1f}s" for l, s in marks), flush=True)
-        snap = self.cat.head("urls_seen")
         metrics = self.spark.createDataFrame(
-            [(epoch, n_due, n_due, n_discovered, None, dur, snap)],
+            [(epoch, n_due, n_due, n_discovered, None, dur, snap_fut.result())],
             CRAWL_METRICS,
         )
         self.cat.append("crawl_metrics", metrics, hint_partitions=1)
-
-        # per-partition lineage/metrics (north rule): which host
-        # buckets this epoch's fetches and discoveries landed in,
-        # keyed to the snapshot — the audit trail for exact resume.
-        due_b = due.groupBy("host_bucket").agg(F.count("*").alias("urls_due"))
-        if disc is not None and n_discovered > 0:
-            disc_b = disc.groupBy(
-                host_bucket(
-                    url_domain(F.col("target")), cfg.n_host_buckets
-                ).alias("host_bucket")
-            ).agg(F.count("*").alias("urls_discovered"))
-            bucket_m = due_b.join(disc_b, ["host_bucket"], "full_outer")
-        else:
-            bucket_m = due_b.withColumn(
-                "urls_discovered", F.lit(None).cast("long")
-            )
-        self.cat.append(
-            "crawl_metrics_buckets",
-            bucket_m.select(
-                F.lit(epoch).cast("int").alias("epoch"),
-                F.col("host_bucket").cast("int"),
-                F.coalesce(F.col("urls_due"), F.lit(0)).cast("long").alias("urls_due"),
-                F.col("urls_discovered").cast("long"),
-                F.lit(snap).cast("long").alias("snapshot_id"),
-            ),
-            hint_partitions=1,
-        )
         return EpochStats(epoch, n_due, n_discovered, dur, stage_seconds())
 
     def _rewrite_urls(

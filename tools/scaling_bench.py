@@ -75,8 +75,11 @@ for attempt in range(2):
     cat_dir = tempfile.mkdtemp(prefix=f"scale{cpus}-")
     cat = Catalog(spark, cat_dir)
     eng = CrawlEngine(spark, cat, cfg, web, expected_urls=1 << 22)
-    eng.seed_frame(web.select(F.col("doc_id").alias("target"))
-                      .filter(F.xxhash64("doc_id") % 2 == 0))
+    # seed the whole corpus: the epoch must be big enough that
+    # distributable work dominates fixed per-epoch driver cost — the
+    # regime a 10^10-URL frontier is always in (politeness still caps
+    # the due set per host)
+    eng.seed_frame(web.select(F.col("doc_id").alias("target")))
     t0 = time.time()
     stats = eng.run(max_epochs=1)
     dt = time.time() - t0
@@ -130,11 +133,27 @@ def main() -> None:
                   f"{r['seconds']:.1f}s {r['ups']:.0f}/s", flush=True)
     best = {c: max(rs, key=lambda r: r["ups"]) for c, rs in results.items()}
 
+    # every JVM contributes BOTH its passes (cold + warm) — under the
+    # sandbox either can be the faster one (page cache is warm across
+    # JVMs; variance is GC/scheduling), so the honest statistic is the
+    # median over all passes, not a hand-picked pass
+    import statistics
+
+    def passes(c) -> list[float]:
+        out = []
+        for r in results[c]:
+            out.extend([r["cold_seconds"], r["seconds"]])
+        return out
+
+    med_ups = {
+        c: best[c]["fetched"] / statistics.median(passes(c)) for c in levels
+    }
+
     def eff(lo: int, hi: int) -> float:
-        return (best[hi]["ups"] / best[lo]["ups"]) / (hi / lo)
+        return (med_ups[hi] / med_ups[lo]) / (hi / lo)
 
     def obs(c):
-        return ", ".join(f"{r['seconds']:.1f}s" for r in results[c])
+        return ", ".join(f"{p:.1f}s" for p in passes(c))
 
     fetched = best[levels[0]]["fetched"]
     lines = [
@@ -147,16 +166,19 @@ def main() -> None:
         f"append + bloom fold) over the same {docs:,}-doc on-disk synthetic",
         f"web (zipf hot hosts), ~{fetched:,} due URLs, run at several",
         "parallelism levels. Fresh JVM per run, fixed",
-        "spark.sql.shuffle.partitions=64, warm-up excluded, best of",
-        f"{reps} reps:",
+        "spark.sql.shuffle.partitions=64; every pass of every JVM is",
+        f"listed ({reps} rep(s) × 2 passes), and efficiency uses the",
+        "MEDIAN pass per level — pass-to-pass variance under the",
+        "shared sandbox makes any single-pass statistic",
+        "cherry-pickable:",
         "",
-        "| level | cores | URLs fetched+deduped | seconds (all reps) | URLs/sec (best) |",
+        "| level | cores | URLs fetched+deduped | seconds (all passes) | URLs/sec (median) |",
         "|---|---|---|---|---|",
     ]
     for c in levels:
         lines.append(
             f"| local[{c}] | {c} | {best[c]['fetched']:,} | {obs(c)} "
-            f"| {best[c]['ups']:.0f} |"
+            f"| {med_ups[c]:.0f} |"
         )
     lines += [
         "",
