@@ -80,13 +80,26 @@ def _domain_series(urls: pd.Series) -> pd.Series:
 
 
 @pandas_udf(StringType())
-def url_domain(urls: pd.Series) -> pd.Series:  # pragma: no cover (runs on executors)
+def url_domain_udf(urls: pd.Series) -> pd.Series:  # pragma: no cover (runs on executors)
     return _domain_series(urls)
+
+
+def url_domain(col: Column | str) -> Column:
+    """U1 as a NATIVE expression (JVM regex, whole-stage codegen) —
+    the exact twin of the pandas kernel above (same ``_HOST_RE``,
+    same empty-authority ⇒ null rule; property-tested equal in
+    tests/test_urls.py). U1 sits on every hot path of the epoch loop
+    (host columns, host buckets, metrics, cross-domain gate), so it
+    must not spin Python workers; the pandas kernel remains as the
+    cross-checked reference implementation."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.lower(F.regexp_extract(c, _HOST_RE, 1))
+    return F.when(h != "", h)
 
 
 def domain_of(col: Column | str) -> Column:
     """U1 as a Column expression."""
-    return url_domain(F.col(col) if isinstance(col, str) else col)
+    return url_domain(col)
 
 
 def _mk_absolute_series(bases: pd.Series, paths: pd.Series) -> pd.Series:

@@ -176,3 +176,29 @@ def test_url_resolve_native_matches_urljoin(spark):
             n_covered += 1
     # the fast path must cover the crawl-dominant cases
     assert n_covered >= len(rows) * 0.5
+
+
+def test_url_domain_native_equals_pandas_kernel(spark):
+    """The native U1 expression must equal the pandas kernel on every
+    edge case the reference's goldens exercise plus adversarial
+    inputs (userinfo, ports, IPv6, empty authority, unicode case)."""
+    from scrapetition_spark.functions.urls import url_domain, url_domain_udf
+
+    cases = [
+        "https://www.zeit.de/politik/x?y#z",
+        "http://USER:pw@Host.Example.COM:8080/p",
+        "https://[2001:db8::1]:443/p",
+        "urn:isbn:0451450523",
+        "mailto:x@example.com",
+        "www.feu.de/no-scheme",
+        "ftp://files.test/",
+        "",
+        "https://",
+        "HTTPS://UPPER.test/p",
+        "a+b-c.d://weird.scheme.test/p",
+        None,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "url string")
+    native = [r[0] for r in df.select(url_domain("url")).collect()]
+    kernel = [r[0] for r in df.select(url_domain_udf("url")).collect()]
+    assert native == kernel
