@@ -319,6 +319,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def t4(spark, sf):
         return T.language_guess(_t(spark, sf, "documents"))
 
+    def p1(spark, sf):
+        """The composed training-data cleaning pipeline a 100 TB
+        corpus runs end-to-end: exact-dedup survivors ∩ quality gate
+        ∩ language gate — one declarative plan (Catalyst fuses the
+        three operators; each is individually oracle-verified as
+        d1/t1/t4)."""
+        docs = _t(spark, sf, "documents")
+        q = T.quality_scores(docs)
+        lang = T.language_guess(docs).select("doc_id", "looks_english")
+        canon = D.exact_dedup(docs).select(
+            F.col("canonical_doc").alias("doc_id")
+        )
+        return (
+            q.join(lang, ["doc_id"])
+            .join(canon, ["doc_id"], "left_semi")
+            .filter((F.col("n_tokens") >= 10) & F.col("looks_english"))
+            .select("doc_id", "n_tokens", "distinct_ratio")
+        )
+
     def s12(spark, sf):
         # S12 parametric WHERE scan (URL.hs:47-53, Sql.hs:117-146)
         from scrapetition_spark.plans.frontier import select_urls_where
@@ -409,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m3_media_features": m3,
         "s1_cosine_topk": s1,
         "s2_ann_lsh": s2,
+        "p1_clean_corpus": p1,
         "t1_quality_scores": t1,
         "t2_token_counts": t2,
         "t3_fingerprints": t3,
@@ -914,6 +934,23 @@ def oracle_sql() -> dict[str, str]:
                                      ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk
               FROM sims)
             SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
+        """,
+        "p1_clean_corpus": """
+            WITH canon AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            q AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                     round(len(list_distinct(string_split(text, ' ')))
+                           / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+                       AS distinct_ratio,
+                     len(list_intersect(list_distinct(string_split(text, ' ')),
+                         ['the','a','of','and','to','in','is'])) >= 2
+                       AS looks_english
+              FROM documents)
+            SELECT q.doc_id, n_tokens, distinct_ratio
+            FROM q JOIN canon ON q.doc_id = canon.doc_id
+            WHERE n_tokens >= 10 AND looks_english
         """,
         "t1_quality_scores": """
             SELECT doc_id,

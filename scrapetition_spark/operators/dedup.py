@@ -49,17 +49,34 @@ def minhash_buckets(docs: DataFrame, n_bands: int = 4, shingle_n: int = 3) -> Da
     """Per-(doc, band) MinHash bucket = min over shingles of
     md5(band || '|' || shingle). A string-min over an md5 image is an
     order-uniform MinHash; using md5 keeps the value reproducible in
-    any engine (the DuckDB oracle runs the same expression)."""
+    any engine (the DuckDB oracle runs the same expression).
+
+    All band minima are computed in ONE grouped aggregation over the
+    un-replicated shingle stream (n_bands agg columns, map-side
+    partial min), then unpivoted — the r01 shape exploded shingles
+    ×n_bands before the shuffle, multiplying shuffle volume by the
+    band count for no information gain."""
     sh = shingles(docs, shingle_n)
-    banded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-        "shingle",
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))
+            ).alias(f"__b{b}")
+            for b in range(n_bands)
+        ]
     )
-    return banded.groupBy("doc_id", "band").agg(
-        F.min(
-            F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle")))
-        ).alias("bucket")
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"), F.col(f"__b{b}").alias("bucket")
+                )
+                for b in range(n_bands)
+            ]
+        )
+    )
+    return per_doc.select("doc_id", bands.alias("p")).select(
+        "doc_id", F.col("p.band").alias("band"), F.col("p.bucket").alias("bucket")
     )
 
 
