@@ -275,6 +275,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "embeddings"), query_ids=list(range(10)), k=5
         )
 
+    def s3(spark, sf):
+        return S.ann_ivf_topk(
+            _t(spark, sf, "embeddings"), query_ids=list(range(10)), k=5
+        )
+
     def d5(spark, sf):
         return D.embedding_cosine_neardups(_t(spark, sf, "embeddings"), threshold=0.4)
 
@@ -428,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m3_media_features": m3,
         "s1_cosine_topk": s1,
         "s2_ann_lsh": s2,
+        "s3_ann_ivf": s3,
         "p1_clean_corpus": p1,
         "t1_quality_scores": t1,
         "t2_token_counts": t2,
@@ -951,6 +957,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.doc_id, n_tokens, distinct_ratio
             FROM q JOIN canon ON q.doc_id = canon.doc_id
             WHERE n_tokens >= 10 AND looks_english
+        """,
+        "s3_ann_ivf": """
+            WITH cents AS (
+              SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c_emb
+              FROM embeddings WHERE vec_id < 16),
+            asg AS (
+              SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.c_emb), 6) DESC,
+                           c.cell ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+              WHERE rn = 1),
+            probe AS (
+              SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, c.cell,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]), c.c_emb), 6) DESC,
+                           c.cell ASC) AS rn
+                FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10)
+              WHERE rn <= 4),
+            cand AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id
+              FROM probe p JOIN asg a ON p.cell = a.cell
+              WHERE a.vec_id != p.query_id),
+            sims AS (
+              SELECT query_id, neighbor_id,
+                     round(list_cosine_similarity(
+                       CAST(eq.embedding AS DOUBLE[]),
+                       CAST(en.embedding AS DOUBLE[])), 4) AS cos
+              FROM cand
+              JOIN embeddings eq ON query_id = eq.vec_id
+              JOIN embeddings en ON neighbor_id = en.vec_id),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk
+              FROM sims)
+            SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
         """,
         "t1_quality_scores": """
             SELECT doc_id,

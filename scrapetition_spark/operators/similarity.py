@@ -102,6 +102,93 @@ def sketch_expr(n_planes: int, seed: int) -> Column:
     return sketch
 
 
+def ivf_assign(
+    embeddings: DataFrame, n_cells: int = 16, round_to: int = 6
+) -> DataFrame:
+    """IVF coarse quantizer: deterministic anchors (the first
+    ``n_cells`` vec_ids — IVF-from-sample), every vector assigned to
+    its max-cosine cell. One broadcast pass over the corpus
+    (O(n·n_cells), the standard IVF build); cells then PARTITION the
+    corpus so a search touches only ``n_probe/n_cells`` of it.
+    Cosines are rounded before the argmax (ties → smaller cell id) so
+    the assignment is bit-reproducible across engines — the DuckDB
+    oracle mirrors it exactly."""
+    from pyspark.sql import Window
+
+    cents = embeddings.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    sims = embeddings.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        F.round(cosine(F.col("embedding"), F.col("c_emb")), round_to).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cell").asc()
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k (the second ANN family next to the LSH
+    sketches): probe the ``n_probe`` closest cells per query, exact
+    cosine only on their members. At corpus scale the assigned table
+    is partitioned by cell, so a query reads n_probe partitions —
+    never the full corpus."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(embeddings, n_cells)
+    cents = embeddings.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_emb",
+            "cell",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("qsim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_emb", "cell")
+    )
+    cands = assigned.join(F.broadcast(probes), ["cell"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sims = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), round_to).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
 def lsh_sketch(embeddings: DataFrame, n_planes: int = 16, seed: int = 7) -> DataFrame:
     """Sign sketch: bit i = sign(dot(v, plane_i)), planes derived
     deterministically from md5 (see ``_plane_component``) — computed

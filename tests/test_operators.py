@@ -214,3 +214,32 @@ def test_fingerprint_stability(spark, docs):
     shuffled = docs.orderBy(F.xxhash64("doc_id"))
     f2 = {r["doc_id"]: r["fingerprint"] for r in fingerprints(shuffled).collect()}
     assert f1 == f2
+
+
+def test_ann_ivf_recall_and_partitioning(spark, emb):
+    """IVF (the second ANN family): top-5 recall vs brute force on
+    random vectors, and the structural guarantee — every corpus
+    vector lands in exactly one cell (search reads n_probe cells,
+    never the corpus)."""
+    from scrapetition_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+        ivf_assign,
+    )
+
+    assigned = ivf_assign(emb, n_cells=8)
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+    assert assigned.select("cell").distinct().count() <= 8
+
+    qids = list(range(5))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_topk(emb, qids, k=5, n_cells=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"recall {recall}"
