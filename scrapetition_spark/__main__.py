@@ -37,6 +37,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="re-schedule not-seen URLs (crawl NotSeenFromDB)")
     p.add_argument("-f", "--follow-links", action="store_true")
     p.add_argument("-x", "--cross-domain", action="store_true")
+    p.add_argument("-a", "--visit-again", action="store_true",
+                   help="visit URLs again (app/Main.hs:89-91): URLs "
+                        "already marked as visited in the database are "
+                        "fetched and scraped again; only URLs seen "
+                        "during THIS run are skipped")
     p.add_argument("-l", "--lifo", action="store_true")
     p.add_argument("--sequential", action="store_true")
     p.add_argument("--epochs", type=int, default=None)
@@ -69,6 +74,7 @@ def main(argv: list[str] | None = None) -> int:
         follow_links=args.follow_links,
         cross_domain=args.cross_domain,
         lifo=args.lifo,
+        visit_again=args.visit_again,
         sequential=args.sequential,
         politeness_sec=args.politeness,
         per_host_budget=args.budget,
@@ -91,40 +97,44 @@ def main(argv: list[str] | None = None) -> int:
         p.error("need --catalog (or --raw)")
     eng = CrawlEngine(spark, Catalog(spark, cat_dir), cfg, documents, robots=robots)
 
-    if args.url:
-        eng.seed([args.url])
-    elif args.resume and not args.raw:
-        eng.resume_not_seen()
-    else:
-        p.error("need -u URL or -d (resume)")
+    try:
+        if args.url:
+            eng.seed([args.url])
+        elif args.resume and not args.raw:
+            eng.resume_not_seen()
+        else:
+            p.error("need -u URL or -d (resume)")
 
-    stats = eng.run(max_epochs=args.epochs, sleep=args.sleep)
-    out = {
-        "epochs": len(stats),
-        "urls_fetched": sum(s.urls_due for s in stats),
-        "urls_discovered": sum(s.urls_discovered for s in stats),
-        "seconds": round(sum(s.duration_ms for s in stats) / 1000.0, 2),
-    }
-    if args.raw:
-        # ≙ runScrapersRaw: show what the scrapers extracted, keep none
-        # of it (the temp catalog is deleted below)
-        from scrapetition_spark.schemas import (
-            ARTICLES, COMMENTS, URLS_SEEN, USERS, VOTES,
-        )
+        stats = eng.run(max_epochs=args.epochs, sleep=args.sleep)
+        out = {
+            "epochs": len(stats),
+            "urls_fetched": sum(s.urls_due for s in stats),
+            "urls_discovered": sum(s.urls_discovered for s in stats),
+            "seconds": round(sum(s.duration_ms for s in stats) / 1000.0, 2),
+        }
+        if args.raw:
+            # ≙ runScrapersRaw: show what the scrapers extracted, keep
+            # none of it (the temp catalog is deleted in finally)
+            from scrapetition_spark.schemas import (
+                ARTICLES, COMMENTS, URLS_SEEN, USERS, VOTES,
+            )
 
-        counts = {}
-        for tbl, schema in (
-            ("comments", COMMENTS), ("users", USERS), ("votes", VOTES),
-            ("articles", ARTICLES), ("urls_seen", URLS_SEEN),
-        ):
-            frame = eng.cat.read(tbl, schema)
-            counts[tbl] = frame.count()
-            frame.show(10, truncate=60)
-        out["raw"] = True
-        out["items"] = counts
-        shutil.rmtree(cat_dir, ignore_errors=True)
-    print(json.dumps(out))
-    return 0
+            counts = {}
+            for tbl, schema in (
+                ("comments", COMMENTS), ("users", USERS), ("votes", VOTES),
+                ("articles", ARTICLES), ("urls_seen", URLS_SEEN),
+            ):
+                frame = eng.cat.read(tbl, schema)
+                counts[tbl] = frame.count()
+                frame.show(10, truncate=60)
+            out["raw"] = True
+            out["items"] = counts
+        print(json.dumps(out))
+        return 0
+    finally:
+        # an interrupted raw run must not leak its temp dir
+        if args.raw:
+            shutil.rmtree(cat_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

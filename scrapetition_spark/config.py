@@ -92,6 +92,11 @@ class CrawlConfig:
     follow_links: bool = False  # -f (Main.hs:96-99); gate C6
     cross_domain: bool = False  # -x (Main.hs:100-103); gate C7
     lifo: bool = False  # -l (Main.hs:92-94); merge policy C3
+    # -a (Main.hs:89-91; seen=[] wiring Main.hs:246): ignore the
+    # PERSISTED seen set — every scheduled URL is due again with a
+    # fresh fetch_seq. Within-run dedup still applies (the reference's
+    # loop accumulates seen' from [] regardless, App.hs:63).
+    visit_again: bool = False
     scraper_name: str = "scrapetition-spark"  # ≙ getProgName (App.hs:130-131)
     politeness_sec: float = 2.0  # threadDelay 2000000 (App.hs:68)
     dispatchers: tuple[Dispatcher, ...] = ZEIT_DE_DISPATCHERS
@@ -108,6 +113,11 @@ class CrawlConfig:
     # consolidated urls rewrite instead of a partition-scoped commit
     commit_dense_fraction: float = 0.5
     n_frontier_salts: int = 8  # hot-host two-phase top-K (1 = off)
+    # item/edge sink tables (comments/users/votes/articles/url_edges)
+    # are stored in this many key-hash buckets so each epoch's MERGE
+    # anti-join scans only touched buckets (O(epoch activity), not
+    # O(table)); production = 256+ so per-bucket data stays bounded
+    n_item_buckets: int = 8
     sequential: bool = False  # 1 URL/epoch: bit-exact reference ordering
     respect_robots: bool = False  # north-rule addition (absent in reference)
     bloom_bits_per_key: int = 16  # seen-set bloom sizing

@@ -121,6 +121,10 @@ class CrawlEngine:
             else None
         )
         self.fetch_seq_base = 0
+        # first epoch of THIS run: visit_again (-a) ignores seen rows
+        # from epochs before it (≙ runScrapers urls [] — Main.hs:246
+        # starts the run's seen set empty; within-run dedup stays)
+        self.run_start_epoch = 0
 
     def _seen_filter(self):
         if self.bloom is not None:
@@ -228,6 +232,11 @@ class CrawlEngine:
         cfg = self.cfg
         urls = self.cat.read("urls", URLS)
         seen = self.cat.read("urls_seen", URLS_SEEN)
+        if cfg.visit_again:
+            # -a (Main.hs:89-91, seen=[] at :246): drop persisted seen
+            # rows from before this run; bloom positives for them fall
+            # through to this (filtered) exact anti-join and survive.
+            seen = seen.filter(F.col("epoch") >= F.lit(self.run_start_epoch))
 
         due = plan_due(
             urls, seen, self._seen_filter(), cfg, self.fetch_seq_base, self.robots
@@ -527,10 +536,21 @@ class CrawlEngine:
             )
             return snap
 
+        def _item_bucket(keys: list[str]) -> F.Column:
+            # key-hash commit bucket for the bucketed item-sink MERGE
+            # (catalog.merge_insert bucket_expr): deterministic from
+            # the UNIQUE key alone, so the same row always lands in —
+            # and the anti-join only ever scans — the same bucket
+            return F.pmod(
+                F.xxhash64(*[F.col(k) for k in keys]),
+                F.lit(cfg.n_item_buckets),
+            ).cast("int")
+
         with ThreadPoolExecutor(max_workers=8) as pool:
             futs = [
                 pool.submit(
-                    self.cat.merge_insert, tbl, batch, keys, schema, order
+                    self.cat.merge_insert, tbl, batch, keys, schema, order,
+                    _item_bucket(keys),
                 )
                 for tbl, batch, keys, schema, order in sink_tasks
             ]
@@ -724,8 +744,14 @@ class CrawlEngine:
         prev = self.cat.read("crawl_metrics", CRAWL_METRICS)
         if prev.count() > 0:
             epoch = int(prev.agg(F.max("epoch")).collect()[0][0]) + 1
+            self.run_start_epoch = epoch
             self.fetch_seq_base = self.cat.read("urls_seen", URLS_SEEN).count()
-            if self.bloom is not None:
+            if self.cfg.visit_again:
+                # -a: run-local seen starts empty — no bloom prefill
+                # from prior epochs (the sidecar, if any, only routes
+                # probes into the epoch-filtered exact anti-join)
+                pass
+            elif self.bloom is not None:
                 self.bloom = self.bloom.build_from(
                     self.cat.read("urls_seen", URLS_SEEN).select("url")
                 )

