@@ -49,6 +49,7 @@ from scrapetition_spark.plans.seen import (
     PartitionedBloom,
     PartitionedBloomView,
 )
+from scrapetition_spark.session import local_df
 from scrapetition_spark.schemas import (
     ARTICLES,
     COMMENTS,
@@ -121,6 +122,7 @@ class CrawlEngine:
             else None
         )
         self.fetch_seq_base = 0
+        self._sidecar_validated = False
         # first epoch of THIS run: visit_again (-a) ignores seen rows
         # from epochs before it (≙ runScrapers urls [] — Main.hs:246
         # starts the run's seen set empty; within-run dedup stays)
@@ -130,9 +132,24 @@ class CrawlEngine:
         if self.bloom is not None:
             return self.bloom
         if self.pbloom is not None and self.cat.exists("bloom_sidecar"):
-            return PartitionedBloomView(
-                self.pbloom, self.cat.read("bloom_sidecar", BLOOM_SIDECAR)
-            )
+            sidecar = self.cat.read("bloom_sidecar", BLOOM_SIDECAR)
+            if not self._sidecar_validated:
+                # a sidecar persisted under different (m_bits, k,
+                # n_buckets) — engine reconfigured between runs, or the
+                # pre-parameter layout — would probe wrong and yield
+                # silent false negatives: rebuild it from the exact
+                # urls_seen truth instead of trusting the stored bits
+                if not self.pbloom.matches(sidecar):
+                    seen_b = self.cat.read("urls_seen", URLS_SEEN).select(
+                        "url",
+                        host_bucket(
+                            F.col("host"), self.cfg.n_host_buckets
+                        ).alias("host_bucket"),
+                    )
+                    self.cat.overwrite("bloom_sidecar", self.pbloom.build(seen_b))
+                    sidecar = self.cat.read("bloom_sidecar", BLOOM_SIDECAR)
+                self._sidecar_validated = True
+            return PartitionedBloomView(self.pbloom, sidecar)
         return None
 
     # ------------------------------------------------------------------ util
@@ -166,7 +183,7 @@ class CrawlEngine:
         seeds and schedule them. Seeds carry lineage epoch -1 so they
         sort before (FIFO) / after (LIFO) every discovery."""
         rows = [(u, i) for i, u in enumerate(urls)]
-        df = self.spark.createDataFrame(rows, ["target", "pos"]).select(
+        df = local_df(self.spark, rows, "target string, pos long").select(
             "target",
             F.lit(-1).alias("discovery_epoch"),
             F.lit(-1).cast("long").alias("source_fetch_seq"),
@@ -551,6 +568,7 @@ class CrawlEngine:
                 pool.submit(
                     self.cat.merge_insert, tbl, batch, keys, schema, order,
                     _item_bucket(keys),
+                    {"n_item_buckets": cfg.n_item_buckets},
                 )
                 for tbl, batch, keys, schema, order in sink_tasks
             ]
@@ -566,14 +584,16 @@ class CrawlEngine:
 
         self.fetch_seq_base += n_due
         dur = int((time.time() - t0) * 1000)
-        if debug:
-            print(f"[epoch {epoch}] due={n_due} " +
-                  " ".join(f"{l}={s:.1f}s" for l, s in marks), flush=True)
-        metrics = self.spark.createDataFrame(
+        metrics = local_df(
+            self.spark,
             [(epoch, n_due, n_due, n_discovered, None, dur, snap_fut.result())],
             CRAWL_METRICS,
         )
         self.cat.append("crawl_metrics", metrics, hint_partitions=1)
+        mark("metrics")  # post-sinks epoch bookkeeping is measured too
+        if debug:
+            print(f"[epoch {epoch}] due={n_due} " +
+                  " ".join(f"{l}={s:.1f}s" for l, s in marks), flush=True)
         return EpochStats(epoch, n_due, n_discovered, dur, stage_seconds())
 
     def _rewrite_urls(
@@ -605,6 +625,25 @@ class CrawlEngine:
         ncb = cfg.n_commit_buckets
         commit_expr = F.pmod(F.col("host_bucket"), F.lit(ncb))
         has_plain, parts = self.cat.partition_state("urls")
+
+        # The scoped-commit layout is only valid under the bucket spec
+        # it was written with: reopening with a different
+        # (n_commit_buckets, n_host_buckets) would derive touched
+        # buckets that disagree with the stored host_bucket column and
+        # silently drop/misroute rows. Persist the spec as a table
+        # property; on mismatch force ONE consolidating rewrite with
+        # host_bucket recomputed from the live config.
+        spec = {"n_commit_buckets": ncb, "n_host_buckets": cfg.n_host_buckets}
+        stored = self.cat.get_meta("urls").get("commit_spec")
+        spec_mismatch = self.cat.exists("urls") and stored != spec
+        if spec_mismatch:
+            urls = urls.withColumn(
+                "host_bucket",
+                host_bucket(F.col("host"), cfg.n_host_buckets).cast("int"),
+            )
+        if stored != spec:
+            self.cat.set_meta("urls", {**self.cat.get_meta("urls"),
+                                       "commit_spec": spec})
         tb = fetched.select(F.col("url"))
         if disc is not None:
             tb = tb.unionByName(disc.select(F.col("target").alias("url")))
@@ -617,7 +656,10 @@ class CrawlEngine:
         }
         dense = len(touched_set) >= ncb * cfg.commit_dense_fraction
         touched: list[int] | None = None
-        if dense:
+        if spec_mismatch:
+            # consolidate the whole table under the live spec
+            commit_mode = "full_partitioned" if not dense else "plain"
+        elif dense:
             commit_mode = "plain"
         elif has_plain or not parts:
             commit_mode = "full_partitioned"

@@ -26,18 +26,29 @@ LATIN1_ALIASES = (
     "csISOLatin1", "l1", "CP819",
 )
 
-_META_RE = (
-    r'(?i)<meta[^>]*http-equiv=["\']?content-type["\']?[^>]*'
-    r'content=["\']([^"\'>]*)'
-)
+# The whole <meta ...> tag carrying http-equiv=Content-Type, wherever
+# the attribute sits inside the tag (scalpel's attribute lookup is
+# order-independent and quote-agnostic — Encoding.hs:33-36).
+_META_TAG_RE = r'(?i)<meta\b[^>]*http-equiv\s*=\s*["\']?content-type["\']?[^>]*>'
+# content="..." / content='...' / content=bare — separate patterns so
+# each value class has the right terminator set.
+_CONTENT_DQ = r'(?i)content\s*=\s*"([^"]*)"'
+_CONTENT_SQ = r"(?i)content\s*=\s*'([^']*)'"
+_CONTENT_BARE = r'(?i)content\s*=\s*([^\s"\'>]+)'
 
 
 def sniff_charset(payload: Column) -> Column:
     """The scraped charset token (Encoding.hs:33-41), or NULL when no
     Content-Type meta is present. Byte-transparent: the regex runs on
-    a latin1 view of the payload."""
-    prefix = F.decode(F.substring(payload, 1, 4096), "ISO-8859-1")
-    content = F.regexp_extract(prefix, _META_RE, 1)
+    a latin1 view of the payload (the WHOLE document, like the
+    reference's scalpel scrape — no fixed sniff window), and attribute
+    order/quoting inside the meta tag doesn't matter."""
+    doc = F.decode(payload, "ISO-8859-1")
+    tag = F.regexp_extract(doc, _META_TAG_RE, 0)
+    dq = F.regexp_extract(tag, _CONTENT_DQ, 1)
+    sq = F.regexp_extract(tag, _CONTENT_SQ, 1)
+    bare = F.regexp_extract(tag, _CONTENT_BARE, 1)
+    content = F.when(dq != "", dq).when(sq != "", sq).otherwise(bare)
     units = F.transform(
         F.split(content, ";"), lambda u: F.replace(u, F.lit(" "), F.lit(""))
     )

@@ -160,10 +160,13 @@ def assign_fetch_seq(
     if not offsets:  # empty due set
         return due.withColumn("fetch_seq", F.lit(None).cast("long")), 0
     spark = due.sparkSession
+    from scrapetition_spark.session import local_df
+
+    # single-slice local frame: a defaultParallelism-sliced python RDD
+    # here costs a ~6 s worker-spawn storm per epoch (see local_df)
     off_df = F.broadcast(
-        spark.createDataFrame(
-            [(b, o) for b, o in offsets.items()], ["host_bucket", "__off"]
-        )
+        local_df(spark, [(b, o) for b, o in offsets.items()],
+                 "host_bucket int, __off long")
     )
     out = (
         d.join(off_df, ["host_bucket"], "inner")

@@ -165,6 +165,13 @@ BLOOM_SIDECAR = StructType(
         StructField("bucket", IntegerType(), False),
         StructField("bits", BinaryType(), False),
         StructField("n_keys", LongType(), False),
+        # sizing parameters persisted WITH the bitsets: probing a
+        # stored sidecar with different (m_bits, k, n_buckets) yields
+        # silent false negatives ("definitely new" for seen URLs), so
+        # a resumed engine must validate these and rebuild on mismatch
+        StructField("m_bits", IntegerType(), False),
+        StructField("k", IntegerType(), False),
+        StructField("n_buckets", IntegerType(), False),
     ]
 )
 
@@ -189,7 +196,7 @@ class PartitionedBloom:
         """Sidecar rows for df's keys: per-partition per-bucket bitsets
         folded in an Arrow kernel, OR-merged per bucket with
         ``applyInPandas`` — no driver participation, no collect."""
-        m_bits, k = self.m_bits, self.k
+        m_bits, k, n_buckets = self.m_bits, self.k, self.n_buckets
         hashed = df.select(
             F.col(bucket_col).cast("int").alias("bucket"),
             F.xxhash64(F.col(url_col)).alias(_HASH_COL),
@@ -216,6 +223,9 @@ class PartitionedBloom:
                         "bucket": list(local),
                         "bits": [v[0].tobytes() for v in local.values()],
                         "n_keys": [v[1] for v in local.values()],
+                        "m_bits": m_bits,
+                        "k": k,
+                        "n_buckets": n_buckets,
                     }
                 )
 
@@ -226,6 +236,8 @@ class PartitionedBloom:
         """OR-merge possibly-duplicate bucket rows (build output, or
         old sidecar ∪ epoch delta) into one row per bucket."""
 
+        m_bits, k, n_buckets = self.m_bits, self.k, self.n_buckets
+
         def merge(pdf: pd.DataFrame) -> pd.DataFrame:
             acc = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
             for raw in pdf["bits"].iloc[1:]:
@@ -235,10 +247,29 @@ class PartitionedBloom:
                     "bucket": [pdf["bucket"].iloc[0]],
                     "bits": [acc.tobytes()],
                     "n_keys": [int(pdf["n_keys"].sum())],
+                    "m_bits": [m_bits],
+                    "k": [k],
+                    "n_buckets": [n_buckets],
                 }
             )
 
         return sidecar_rows.groupBy("bucket").applyInPandas(merge, BLOOM_SIDECAR)
+
+    def matches(self, sidecar: DataFrame) -> bool:
+        """True iff the stored sidecar's persisted sizing parameters
+        equal this instance's (probing with mismatched params would
+        silently yield false negatives). An empty sidecar matches; one
+        without the parameter columns (pre-upgrade layout) does not."""
+        if not set(["m_bits", "k", "n_buckets"]) <= set(sidecar.columns):
+            return False
+        row = sidecar.select("m_bits", "k", "n_buckets").first()
+        if row is None:
+            return True
+        return (
+            row["m_bits"] == self.m_bits
+            and row["k"] == self.k
+            and row["n_buckets"] == self.n_buckets
+        )
 
     # ---- bucket-local probe (cogroup; no broadcast of any bitset) ---
 

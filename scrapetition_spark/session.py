@@ -63,3 +63,18 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def local_df(spark: SparkSession, rows, schema):
+    """Driver-local rows as a SINGLE-partition DataFrame.
+
+    ``spark.createDataFrame(rows, ...)`` parallelizes into
+    defaultParallelism slices (32 on local[32]), so every job over the
+    tiny frame schedules 32 Python-RDD tasks; under this sandbox each
+    such task can spawn a fresh Python worker (~0.2 s apiece), turning
+    a 1-row write into ~6 s (measured r03 — the bulk of the r01→r02
+    crawl bench regression). One slice = one task ≈ 0.3 s, and is the
+    right shape for small driver-side frames on a real cluster too."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )

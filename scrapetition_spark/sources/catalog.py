@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from scrapetition_spark.session import local_df
+
 
 @dataclass
 class Snapshot:
@@ -121,6 +123,25 @@ class Catalog:
         df.coalesce(n).write.mode("overwrite").parquet(out)
         return [out]
 
+    # ----- table properties (≙ Iceberg table properties) --------------------
+
+    def get_meta(self, table: str) -> dict:
+        """Durable table-level properties (e.g. the commit-bucket spec
+        a partition-scoped layout was written under)."""
+        try:
+            with open(os.path.join(self._tdir(table), "_META.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def set_meta(self, table: str, meta: dict) -> None:
+        tdir = self._tdir(table)
+        os.makedirs(tdir, exist_ok=True)
+        tmp = os.path.join(tdir, "_META.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(tdir, "_META.json"))
+
     # ----- public API -------------------------------------------------------
 
     def exists(self, table: str) -> bool:
@@ -137,7 +158,7 @@ class Catalog:
         if not paths:
             if schema is None:
                 raise ValueError(f"table {table} does not exist and no schema given")
-            return self.spark.createDataFrame([], schema)
+            return local_df(self.spark, [], schema)
         return self.spark.read.parquet(*paths)
 
     def overwrite(self, table: str, df: DataFrame) -> int:
@@ -240,13 +261,13 @@ class Catalog:
         plain files, whose rows belong to unknown buckets) — the
         partition-pruned scan behind the bucketed MERGE."""
         if not self.exists(table):
-            return self.spark.createDataFrame([], schema)
+            return local_df(self.spark, [], schema)
         snap = self._snapshot(table, self.head(table))
         paths = list(snap.files)
         for b in buckets:
             paths += snap.parts.get(str(b), [])
         if not paths:
-            return self.spark.createDataFrame([], schema)
+            return local_df(self.spark, [], schema)
         return self.spark.read.parquet(*paths)
 
     def append_partitions(
@@ -312,6 +333,7 @@ class Catalog:
         schema: StructType,
         order_cols: list[str] | None = None,
         bucket_expr: F.Column | None = None,
+        bucket_spec: dict | None = None,
     ) -> int:
         """MERGE ... WHEN NOT MATCHED THEN INSERT (≙ INSERT OR IGNORE,
         Sql.hs:19-105). Batch-internal duplicates collapse to the
@@ -352,6 +374,19 @@ class Catalog:
 
         # ---- bucketed MERGE -------------------------------------------------
         has_plain, _ = self.partition_state(table)
+        if bucket_spec is not None:
+            # bucket layout is only valid under the bucket count it
+            # was written with: reopening with a different spec would
+            # prune the anti-join to the WRONG buckets and re-insert
+            # existing keys. On mismatch, consolidate once under the
+            # live spec (same contract as the urls commit spec).
+            stored = self.get_meta(table).get("bucket_spec")
+            if self.exists(table) and stored != bucket_spec:
+                has_plain = True
+            if stored != bucket_spec:
+                self.set_meta(
+                    table, {**self.get_meta(table), "bucket_spec": bucket_spec}
+                )
         if has_plain:
             # legacy plain files hold rows of unknown buckets: one
             # consolidating rewrite converts the table to bucketed

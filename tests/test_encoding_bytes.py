@@ -70,6 +70,36 @@ def test_unknown_charset_passes_through_decodes_utf8(spark):
     assert row["text"].endswith("häuser")
 
 
+def test_meta_attribute_order_quotes_and_position(spark):
+    """Scalpel's attribute lookup is order-independent, quote-agnostic
+    and scans the whole document — so is the sniff (ADVICE r02)."""
+    latin_body = "häuser".encode("iso-8859-1")
+    cases = [
+        # content BEFORE http-equiv
+        b'<meta content="text/html; charset=iso-8859-1" '
+        b'http-equiv="Content-Type">',
+        # single quotes
+        b"<meta http-equiv='Content-Type' "
+        b"content='text/html; charset=iso-8859-1'>",
+        # unquoted content value (no spaces, valid HTML)
+        b"<meta http-equiv=Content-Type content=text/html;charset=iso-8859-1>",
+        # spaces around '='
+        b'<meta http-equiv = "Content-Type" '
+        b'content = "text/html; charset=iso-8859-1">',
+        # meta tag far beyond any fixed sniff window
+        b"<html>" + b"x" * 8192
+        + b'<meta http-equiv="Content-Type" '
+          b'content="text/html; charset=iso-8859-1">',
+    ]
+    for page in cases:
+        row = _one(spark, page + latin_body).select(
+            charset_name(F.col("payload")).alias("n"),
+            decode_payload(F.col("payload")).alias("text"),
+        ).collect()[0]
+        assert row["n"] == "ISO-8859-1", page[:60]
+        assert row["text"].endswith("häuser"), page[:60]
+
+
 def test_utf8_lenient_on_malformed(spark):
     # stray latin1 byte with no meta: UTF-8 decode must not crash
     # (decodeUtf8With substitution semantics — replacement char)

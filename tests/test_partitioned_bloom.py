@@ -146,3 +146,59 @@ def test_crawl_partitioned_bloom_resume(spark):
     got = {(r["url"], r["fetch_seq"]) for r in
            cat2.read("urls_seen", URLS_SEEN).collect()}
     assert got == want
+
+
+def test_crawl_partitioned_bloom_resume_changed_params(spark):
+    """ADVICE r02: a resumed engine with DIFFERENT bloom sizing
+    (expected_urls, n_host_buckets's bloom bucketing) must not probe
+    the stored sidecar with mismatched (m_bits, k, n_buckets) — it
+    detects the mismatch via the persisted parameters, rebuilds the
+    sidecar from urls_seen, and fetches no duplicates."""
+    from scrapetition_spark.config import CrawlConfig
+    from scrapetition_spark.crawl import CrawlEngine
+    from scrapetition_spark.schemas import URLS_SEEN
+    from scrapetition_spark.sources.catalog import Catalog
+    from scrapetition_spark.sources.fixtures import documents_df, fixture_site
+
+    docs = documents_df(spark, fixture_site()).localCheckpoint()
+    seed = "https://www.zeit.de/politik/2020-01/art-a"
+    cfg = CrawlConfig("www.zeit.de", follow_links=True, politeness_sec=0,
+                      per_host_budget=4, bloom_bits_per_key=16)
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="bloomparam-"))
+    eng = CrawlEngine(spark, cat, cfg, docs, bloom_mode="partitioned",
+                      expected_urls=1 << 12)
+    eng.seed([seed])
+    eng.run(max_epochs=2)  # interrupted mid-crawl, sidecar persisted
+    seen_mid = cat.read("urls_seen", URLS_SEEN).count()
+    assert seen_mid > 0
+
+    # simulate the crash window the seen anti-join protects: urls_seen
+    # rows exist but the urls-table first_seen update never landed —
+    # these URLs are frontier candidates again and ONLY the seen
+    # filter (bloom + exact anti-join) stops a duplicate fetch
+    from scrapetition_spark.schemas import URLS
+
+    urls_tbl = cat.read("urls", URLS)
+    cat.overwrite(
+        "urls",
+        urls_tbl.withColumn("first_seen", F.lit(None).cast("timestamp"))
+        .withColumn("in_frontier", F.lit(1)),
+    )
+
+    # resume with different sizing → different (m_bits, k): probing
+    # the stored sidecar would yield false negatives ("definitely
+    # new") for exactly those seen URLs; the engine must detect the
+    # persisted-parameter mismatch and rebuild instead
+    cfg2 = CrawlConfig("www.zeit.de", follow_links=True, politeness_sec=0,
+                       per_host_budget=4, bloom_bits_per_key=8)
+    eng2 = CrawlEngine(spark, cat, cfg2, docs, bloom_mode="partitioned",
+                       expected_urls=1 << 16)
+    assert not eng2.pbloom.matches(
+        cat.read("bloom_sidecar", BLOOM_SIDECAR))
+    eng2.run()
+    rows = cat.read("urls_seen", URLS_SEEN).select("url").collect()
+    urls = [r["url"] for r in rows]
+    assert len(urls) == len(set(urls)), "duplicate fetches after resume"
+    # sidecar now persisted under the NEW parameters
+    assert eng2.pbloom.matches(cat.read("bloom_sidecar", BLOOM_SIDECAR))
