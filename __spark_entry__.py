@@ -87,6 +87,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def a11(spark, sf):
         return A.a11_cooccurrence(_t(spark, sf, "lineitem"))
 
+    def _comments_shaped(spark, sf):
+        """Deterministic comments-shaped frame from ``documents`` —
+        id/parent/thread/user/name exactly as a crawl would persist
+        them (threads of 10, reply chains, 37 authors) — so the
+        crawl-native A10/A11 operators get an oracle-checkable input
+        (VERDICT r02 next-4)."""
+        d = _t(spark, sf, "documents")
+        uid = (F.col("doc_id") % 37).cast("string")
+        return d.select(
+            F.col("doc_id").alias("id"),
+            F.when(F.col("doc_id") % 10 != 0, F.col("doc_id") - 1).alias("parent"),
+            (F.col("doc_id") - F.col("doc_id") % 10).alias("thread"),
+            F.concat(F.lit("u"), uid).alias("user"),
+            F.concat(F.lit("user-"), uid).alias("name"),
+        )
+
+    def a10b(spark, sf):
+        return A.answer_graph_comments(_comments_shaped(spark, sf))
+
+    def a11b(spark, sf):
+        return A.cooccurrence_comments(_comments_shaped(spark, sf))
+
     def a12(spark, sf):
         return A.a12_leaderboard(_t(spark, sf, "orders"), _t(spark, sf, "customer"))
 
@@ -280,8 +302,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "embeddings"), query_ids=list(range(10)), k=5
         )
 
+    def _ann_recall(exact, approx):
+        """One-row corpus-level recall@k of ``approx`` vs the exact
+        brute-force top-k (s1): (n_exact, n_caught, recall_pct)."""
+        caught = exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"], "left_semi",
+        )
+        return exact.agg(F.count("*").alias("n_exact")).crossJoin(
+            caught.agg(F.count("*").alias("n_caught"))
+        ).select(
+            "n_exact", "n_caught",
+            F.round(F.col("n_caught") * 100.0 / F.col("n_exact"), 2)
+            .alias("recall_pct"),
+        )
+
+    def s2b(spark, sf):
+        return _ann_recall(s1(spark, sf), s2(spark, sf))
+
+    def s3b(spark, sf):
+        return _ann_recall(s1(spark, sf), s3(spark, sf))
+
     def d5(spark, sf):
-        return D.embedding_cosine_neardups(_t(spark, sf, "embeddings"), threshold=0.4)
+        # explicit 8x8 keeps the oracle's mirrored candidate set
+        # stable; the DEFAULT auto-sizes tables for recall >= 0.95
+        # (lsh_params_for) and d5b below MEASURES the pruned path's
+        # recall against the exact pair set
+        return D.embedding_cosine_neardups(
+            _t(spark, sf, "embeddings"), threshold=0.4, n_planes=8, n_tables=8
+        )
+
+    def d5b(spark, sf):
+        """Recall of the sketch-pruned near-dup path vs the exact
+        all-pairs ground truth at the default threshold (ADVICE r02:
+        the d5 oracle mirrors the candidate set, so approximation
+        loss needs its own measured number). One row:
+        (n_exact, n_caught, recall_pct)."""
+        emb = _t(spark, sf, "embeddings")
+        exact = D.embedding_cosine_neardups(emb, threshold=0.9, exact=True)
+        pruned = D.embedding_cosine_neardups(emb, threshold=0.9)
+        caught = exact.join(pruned.select("vec_a", "vec_b"), ["vec_a", "vec_b"],
+                            "left_semi")
+        return exact.agg(F.count("*").alias("n_exact")).crossJoin(
+            caught.agg(F.count("*").alias("n_caught"))
+        ).select(
+            "n_exact",
+            "n_caught",
+            F.round(
+                F.when(F.col("n_exact") > 0,
+                       F.col("n_caught") * 100.0 / F.col("n_exact"))
+                .otherwise(F.lit(100.0)), 2
+            ).alias("recall_pct"),
+        )
 
     def m1(spark, sf):
         from scrapetition_spark.operators import multimodal as M
@@ -408,7 +480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_threads_per_article": a8,
         "a9_density": a9,
         "a10_answer_graph": a10,
+        "a10b_answer_graph_comments": a10b,
         "a11_cooccurrence": a11,
+        "a11b_cooccurrence_comments": a11b,
         "a12_leaderboard": a12,
         "a13_filtered_count": a13,
         "a14_concomitance": a14,
@@ -428,6 +502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_ngram_jaccard": d3,
         "d4_simhash_near_dups": d4,
         "d5_embedding_neardup": d5,
+        "d5b_lsh_recall": d5b,
+        "s2b_ann_recall": s2b,
+        "s3b_ann_recall": s3b,
         "m1_media_metadata": m1,
         "m2_media_decode": m2,
         "m3_media_features": m3,
@@ -448,36 +525,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB dialect-compatible ANSI)
 
 
-def _simhash_band_values(max_hamming: int = 3) -> str:
-    """(band, start, mask) VALUES rows mirroring dedup.simhash_bands —
-    generated from the same function so the two engines can never
-    drift."""
+def _simhash_band_selects(max_hamming: int = 3) -> str:
+    """Per-band key SELECTs mirroring dedup.simhash_bands +
+    dedup._band_key (lo = bits 0-31, hi = bits 32-63, straddling
+    bands spliced) — generated from the same band function so the two
+    engines can never drift."""
     from scrapetition_spark.operators.dedup import simhash_bands
 
-    return ", ".join(
-        f"({b}, {start}, {(1 << width) - 1})"
-        for b, (start, width) in enumerate(simhash_bands(max_hamming))
-    )
+    selects = []
+    for b, (start, width) in enumerate(simhash_bands(max_hamming)):
+        if start + width <= 32:
+            key = f"((lo >> {start}) & {(1 << width) - 1})"
+        elif start >= 32:
+            key = f"((hi >> {start - 32}) & {(1 << width) - 1})"
+        else:
+            lo_w = 32 - start
+            hi_w = width - lo_w
+            key = (
+                f"(((lo >> {start}) & {(1 << lo_w) - 1}) + "
+                f"((hi & {(1 << hi_w) - 1}) << {lo_w}))"
+            )
+        selects.append(f"SELECT doc_id, lo, hi, {b} AS band, {key} AS key FROM sig")
+    return "\n              UNION ALL ".join(selects)
 
 
-_SIMHASH_BAND_VALUES = _simhash_band_values(3)
+_SIMHASH_BAND_SELECTS = _simhash_band_selects(3)
 
 
 def _simhash_sig_sql() -> str:
-    """DuckDB CTEs computing the identical 32-bit md5-parity SimHash
-    as operators/dedup.simhash: bit i of a token = parity of hex char
-    i of md5(token), per-bit majority over token occurrences."""
+    """DuckDB CTEs computing the identical 64-bit md5-parity SimHash
+    as operators/dedup.simhash: two 32-bit halves (lo from md5(tok),
+    hi from md5('x' || tok)), bit parities evaluated once per DISTINCT
+    token (the token-dimension plan), majority vote weighted by the
+    per-doc token count."""
     return """
-toks AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tok_counts AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+tok_dim AS (SELECT DISTINCT tok FROM toks),
+tok_bits AS (SELECT tok, md5(tok) AS h_lo, md5('x' || tok) AS h_hi FROM tok_dim),
 votes AS (
-  SELECT doc_id, b.bit,
-         sum(CASE WHEN unicode(substr(h, CAST(b.bit + 1 AS INT), 1)) % 2 = 1
-                  THEN 1 ELSE -1 END) AS v
-  FROM toks, (SELECT unnest(range(32)) AS bit) b
-  GROUP BY doc_id, b.bit),
+  SELECT doc_id, hb.half, b.bit,
+         sum(cnt * CASE WHEN unicode(substr(
+                 CASE WHEN hb.half = 0 THEN h_lo ELSE h_hi END,
+                 CAST(b.bit + 1 AS INT), 1)) % 2 = 1
+             THEN 1 ELSE -1 END) AS v
+  FROM tok_counts JOIN tok_bits USING (tok),
+       (SELECT 0 AS half UNION ALL SELECT 1) hb,
+       (SELECT unnest(range(32)) AS bit) b
+  GROUP BY doc_id, hb.half, b.bit),
 sig AS (
-  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END)
-                      AS BIGINT) AS s
+  SELECT doc_id,
+         CAST(sum(CASE WHEN half = 0 AND v > 0 THEN 1::BIGINT << bit
+                       ELSE 0 END) AS BIGINT) AS lo,
+         CAST(sum(CASE WHEN half = 1 AND v > 0 THEN 1::BIGINT << bit
+                       ELSE 0 END) AS BIGINT) AS hi
   FROM votes GROUP BY doc_id)
 """
 
@@ -498,6 +599,15 @@ def _sketch_sql(seed: int, n_planes: int) -> str:
         )
         bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
     return " + ".join(bits)
+
+
+def _lsh_params_for(threshold: float) -> tuple[int, int]:
+    """Same auto-sizing as the Spark default path (similarity.
+    lsh_params_for) so the d5b oracle prunes with the identical
+    (n_planes, n_tables)."""
+    from scrapetition_spark.operators.similarity import lsh_params_for
+
+    return lsh_params_for(threshold)
 
 
 def _sketch_tables_cte(n_planes: int = 8, n_tables: int = 8, seed0: int = 7) -> str:
@@ -538,8 +648,22 @@ sh2 AS (SELECT doc_id, lang, shingle FROM sh WHERE shingle IS NOT NULL)
 """
 
 
+# deterministic comments-shaped derivation from documents — must stay
+# identical to queries()._comments_shaped (threads of 10, reply
+# chains, 37 authors); `usr` not `user` (reserved in DuckDB)
+_COMMENTS_SHAPED_CTE = """
+c AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 10 <> 0 THEN doc_id - 1 END AS parent,
+         doc_id - (doc_id % 10) AS thread,
+         'u' || CAST(doc_id % 37 AS VARCHAR) AS usr,
+         'user-' || CAST(doc_id % 37 AS VARCHAR) AS name
+  FROM documents)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    sqls = {
         "a3_graph_bfs": """
             WITH RECURSIVE edges AS (
               SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
@@ -634,6 +758,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY sa.s_name, sb.s_name
             HAVING count(*) >= 3
             ORDER BY source, target
+        """,
+        "a10b_answer_graph_comments": f"""
+            WITH {_COMMENTS_SHAPED_CTE}
+            SELECT max(child.name) AS source, max(parent.name) AS target,
+                   count(child.id) AS weight
+            FROM c child JOIN c parent ON child.parent = parent.id
+            GROUP BY parent.usr, child.usr
+            ORDER BY weight, source, target
+        """,
+        "a11b_cooccurrence_comments": f"""
+            WITH {_COMMENTS_SHAPED_CTE}
+            SELECT a.name AS source, b.name AS target,
+                   count(DISTINCT a.thread) AS weight
+            FROM c a JOIN c b
+              ON a.thread = b.thread AND a.name <> b.name
+            GROUP BY a.name, b.name
+            ORDER BY weight DESC, source, target
         """,
         "a11_cooccurrence": """
             SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
@@ -843,16 +984,17 @@ def oracle_sql() -> dict[str, str]:
         "d4_simhash_near_dups": f"""
             WITH {_simhash_sig_sql().strip()},
             kb AS (
-              SELECT doc_id, s, b.band,
-                     CAST((s >> CAST(b.start AS INT)) & b.mask AS BIGINT) AS key
-              FROM sig, (VALUES {_SIMHASH_BAND_VALUES}) b(band, start, mask)),
+              {_SIMHASH_BAND_SELECTS}),
             cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     a.s AS sa, b.s AS sb
+                     a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
               FROM kb a JOIN kb b
                 ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-            SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(lo_a, lo_b))
+                        + bit_count(xor(hi_a, hi_b)) AS INT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3
         """,
         "d5_embedding_neardup": f"""
             WITH {_sketch_tables_cte(8, 8).strip()},
@@ -868,6 +1010,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN embeddings eb ON vec_b = eb.vec_id
             WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                         CAST(eb.embedding AS DOUBLE[])), 4) >= 0.4
+        """,
+        "d5b_lsh_recall": f"""
+            WITH {_sketch_tables_cte(*_lsh_params_for(0.9)).strip()},
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM sk a JOIN sk b
+                ON a.tbl = b.tbl AND a.sketch = b.sketch AND a.vec_id < b.vec_id),
+            exact AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])), 4) >= 0.9),
+            caught AS (
+              SELECT e.vec_a, e.vec_b FROM exact e
+              JOIN cand c ON e.vec_a = c.vec_a AND e.vec_b = c.vec_b)
+            SELECT (SELECT count(*) FROM exact) AS n_exact,
+                   (SELECT count(*) FROM caught) AS n_caught,
+                   round(CASE WHEN (SELECT count(*) FROM exact) > 0
+                         THEN (SELECT count(*) FROM caught) * 100.0
+                              / (SELECT count(*) FROM exact)
+                         ELSE 100.0 END, 2) AS recall_pct
         """,
         "s2_ann_lsh": f"""
             WITH {_sketch_tables_cte(8, 8).strip()},
@@ -1046,3 +1209,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+    # corpus-level ANN recall@k (VERDICT r02 next-7): the exact side
+    # reuses the s1 oracle verbatim, so the recall number's
+    # denominator is genuinely independent of the approximate path
+    for key, approx_key in (
+        ("s2b_ann_recall", "s2_ann_lsh"),
+        ("s3b_ann_recall", "s3_ann_ivf"),
+    ):
+        sqls[key] = f"""
+            SELECT (SELECT count(*) FROM ({sqls["s1_cosine_topk"]}) x) AS n_exact,
+                   (SELECT count(*)
+                    FROM ({sqls["s1_cosine_topk"]}) e
+                    JOIN ({sqls[approx_key]}) a
+                      ON e.query_id = a.query_id
+                     AND e.neighbor_id = a.neighbor_id) AS n_caught,
+                   round((SELECT count(*)
+                    FROM ({sqls["s1_cosine_topk"]}) e
+                    JOIN ({sqls[approx_key]}) a
+                      ON e.query_id = a.query_id
+                     AND e.neighbor_id = a.neighbor_id) * 100.0
+                     / (SELECT count(*) FROM ({sqls["s1_cosine_topk"]}) x), 2)
+                     AS recall_pct
+        """
+    return sqls

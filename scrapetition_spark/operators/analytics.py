@@ -119,6 +119,51 @@ def a10_answer_graph(lineitem, supplier) -> DataFrame:
     )
 
 
+def answer_graph_comments(comments) -> DataFrame:
+    """A10 over a crawled ``comments`` table — the reference's actual
+    input (utils/answers.sql:11-14): who answered whom, edge
+    (child author → parent author), weight = count of replies. The
+    SQL groups by the user *keys* while projecting the display names
+    (SQLite's bare-column pick); here the name is ``max`` per user key
+    so the projection is deterministic. Self-join on ``parent = id``
+    — equi-join keyed on comment id, shuffle-partitioned, never
+    all-pairs."""
+    child, parent = comments.alias("child"), comments.alias("parent")
+    return (
+        child.join(parent, F.col("child.parent") == F.col("parent.id"))
+        .groupBy(
+            F.col("parent.user").alias("_pu"), F.col("child.user").alias("_cu")
+        )
+        .agg(
+            F.max(F.col("child.name")).alias("source"),
+            F.max(F.col("parent.name")).alias("target"),
+            F.count(F.col("child.id")).alias("weight"),
+        )
+        .select("source", "target", "weight")
+        .orderBy("weight", "source", "target")
+    )
+
+
+def cooccurrence_comments(comments) -> DataFrame:
+    """A11 over a crawled ``comments`` table
+    (utils/cooccurence.sql:11-15): how often two authors posted in
+    the same thread; weight = count(DISTINCT thread). Equi-join on
+    ``thread`` — near-uniform thread keys at corpus scale (threads
+    are bounded); the a ≠ b filter keeps both edge directions, like
+    the reference."""
+    a, b = comments.alias("a"), comments.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.thread") == F.col("b.thread"))
+            & (F.col("a.name") != F.col("b.name")),
+        )
+        .groupBy(F.col("a.name").alias("source"), F.col("b.name").alias("target"))
+        .agg(F.countDistinct(F.col("a.thread")).alias("weight"))
+        .orderBy(F.col("weight").desc(), "source", "target")
+    )
+
+
 def a11_cooccurrence(lineitem) -> DataFrame:
     """A11 (utils/cooccurence.sql:10-14): same-thread co-occurrence
     with a != b, weight = count(DISTINCT thread)."""
@@ -231,9 +276,9 @@ def a3_graph_bfs(orders, lineitem, start_custkey: int = 1, max_depth: int = 2) -
         .distinct()
     )
     spark = orders.sparkSession
-    frontier = spark.createDataFrame(
-        [(f"c{start_custkey}", 0)], "node string, depth int"
-    )
+    from scrapetition_spark.session import local_df
+
+    frontier = local_df(spark, [(f"c{start_custkey}", 0)], "node string, depth int")
     visited = frontier
     for d in range(1, max_depth + 1):
         nxt = (

@@ -158,7 +158,7 @@ def lsh_verified_neardups(
     )
 
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
 
 
 def simhash_bands(max_hamming: int, bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
@@ -166,37 +166,94 @@ def simhash_bands(max_hamming: int, bits: int = SIMHASH_BITS) -> list[tuple[int,
     contiguous (start, width) bands. Pigeonhole: any pair within
     hamming distance ``max_hamming`` differs in at most ``max_hamming``
     bands, so at least one of the ``max_hamming + 1`` bands matches
-    exactly — banding has 100% recall at the advertised distance."""
+    exactly — banding has 100% recall at the advertised distance. At
+    the default (64-bit, t=3) band keys are 16 bits wide — 65,536
+    buckets per band, so the bucket self-join stays far from
+    quadratic at corpus scale (ADVICE r02: 8-bit keys off a 32-bit
+    signature degenerated toward n²/256)."""
     n_bands = min(max_hamming + 1, bits)
     starts = [bits * b // n_bands for b in range(n_bands + 1)]
     return [(starts[b], starts[b + 1] - starts[b]) for b in range(n_bands)]
 
 
-def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """SimHash per doc: bit i of a token = parity of hex char i of
-    md5(token); per-bit majority vote over token occurrences;
-    signature reassembled with arithmetic. Native expressions only —
-    and, unlike an xxhash64 derivation, bit values are reproducible in
-    any engine with md5 + substr (the DuckDB oracle runs the identical
+def _half_parity_bits(h: F.Column) -> F.Column:
+    """32-bit value (as non-negative long) whose bit i is the parity
+    of hex char i of md5 column ``h`` — reproducible in any engine
+    with md5 + substr + unicode (the DuckDB oracle runs the identical
     computation), so ``d4`` is hash-verifiable end-to-end."""
-    assert bits <= 32  # md5 hex has 32 chars
+    v = F.lit(0).cast("long")
+    for i in range(32):
+        v = v + F.when(
+            F.ascii(F.substring(h, i + 1, 1)) % 2 == 1, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return v
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc as two 32-bit halves (``sig_lo`` from
+    md5(token), ``sig_hi`` from md5('x' || token) — two independent
+    md5 draws; halves stored as non-negative longs so neither engine
+    fights BIGINT sign semantics).
+
+    Computed token-dimension style (VERDICT r02 next-6): the 64 bit
+    parities are evaluated once per DISTINCT token, then joined to
+    per-doc token counts and majority-voted as ``sum(cnt * ±1)`` —
+    at corpus scale distinct tokens ≪ occurrences, so the md5/parity
+    work drops by the occurrence/type ratio while the vote stays a
+    map-side-combining hash aggregate."""
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).select("doc_id", F.md5("tok").alias("h"))
-    bit_votes = toks.groupBy("doc_id").agg(
+    )
+    tok_counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    tok_dim = toks.select("tok").distinct()
+    h_lo, h_hi = F.md5("tok"), F.md5(F.concat(F.lit("x"), F.col("tok")))
+    vote_cols = []
+    for half, h in (("lo", h_lo), ("hi", h_hi)):
+        for i in range(32):
+            vote_cols.append(
+                F.when(F.ascii(F.substring(h, i + 1, 1)) % 2 == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .alias(f"v_{half}_{i}")
+            )
+    tok_dim = tok_dim.select("tok", *vote_cols)
+    joined = tok_counts.join(tok_dim, "tok")
+    votes = joined.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.ascii(F.substring("h", i + 1, 1)) % 2 == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(bits)
+            F.sum(F.col(f"v_{half}_{i}") * F.col("cnt")).alias(f"b_{half}_{i}")
+            for half in ("lo", "hi")
+            for i in range(32)
         ]
     )
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
+
+    def assemble(half: str) -> F.Column:
+        sig = F.lit(0).cast("long")
+        for i in range(32):
+            sig = sig + F.when(
+                F.col(f"b_{half}_{i}") > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return sig
+
+    return votes.select(
+        "doc_id", assemble("lo").alias("sig_lo"), assemble("hi").alias("sig_hi")
+    )
+
+
+def _band_key(start: int, width: int) -> F.Column:
+    """Bits [start, start+width) of the conceptual 64-bit signature
+    (lo = bits 0-31, hi = bits 32-63), as a non-negative long; bands
+    straddling the half boundary splice both halves."""
+    lo, hi = F.col("sig_lo"), F.col("sig_hi")
+    if start + width <= 32:
+        return F.shiftrightunsigned(lo, start).bitwiseAND(F.lit((1 << width) - 1))
+    if start >= 32:
+        return F.shiftrightunsigned(hi, start - 32).bitwiseAND(
+            F.lit((1 << width) - 1)
         )
-    return bit_votes.select("doc_id", sig.alias("simhash"))
+    lo_w = 32 - start
+    hi_w = width - lo_w
+    return F.shiftrightunsigned(lo, start).bitwiseAND(
+        F.lit((1 << lo_w) - 1)
+    ) + F.shiftleft(hi.bitwiseAND(F.lit((1 << hi_w) - 1)), lo_w)
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -205,17 +262,12 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     ``max_hamming + 1`` bands (simhash_bands) make the candidate set a
     guaranteed superset of all pairs within the distance — the verify
     then filters exactly. One (band, key) bucket self-join: at corpus
-    scale this shuffles on near-uniform keys, never all-pairs."""
+    scale this shuffles on near-uniform 16-bit keys, never all-pairs."""
     s = simhash(docs)
     bands = simhash_bands(max_hamming)
-    keys = F.array(
-        *[
-            F.shiftrightunsigned("simhash", start).bitwiseAND(F.lit((1 << width) - 1))
-            for start, width in bands
-        ]
-    )
+    keys = F.array(*[_band_key(start, width) for start, width in bands])
     kb = s.select(
-        "doc_id", "simhash", F.posexplode(keys).alias("band", "key")
+        "doc_id", "sig_lo", "sig_hi", F.posexplode(keys).alias("band", "key")
     )
     a, b = kb.alias("a"), kb.alias("b")
     pairs = (
@@ -228,12 +280,16 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col("a.sig_lo").alias("lo_a"),
+            F.col("a.sig_hi").alias("hi_a"),
+            F.col("b.sig_lo").alias("lo_b"),
+            F.col("b.sig_hi").alias("hi_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    hamming = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    )
     return pairs.select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
@@ -241,11 +297,11 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 def embedding_cosine_neardups(
     embeddings: DataFrame,
-    threshold: float = 0.4,
+    threshold: float = 0.9,
     round_to: int = 4,
     exact: bool = False,
-    n_planes: int = 8,
-    n_tables: int = 8,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
 ) -> DataFrame:
     """Embedding-space near-dup pairs: cosine ≥ threshold, rounded
     before thresholding so the cut is reproducible across engines.
@@ -254,17 +310,31 @@ def embedding_cosine_neardups(
     a single self-join on (table, sketch) bucket keys over
     ``n_tables`` independent md5-derived sketches — then exact cosine
     verify on candidates only. Never materializes the O(n²) pair
-    space; recall follows the standard (1-(1-p^planes)^tables) LSH
-    curve (≈0.99 at cosine 0.95 with 8×8; tests/test_operators.py
-    asserts the bound on planted near-dups). The sketch derivation is
+    space. With planes/tables unset they are auto-sized by
+    ``lsh_params_for`` so recall at the threshold is ≥0.95 (ADVICE
+    r02: the old fixed 8×8 delivered ~18% recall at threshold 0.4
+    while claiming 0.99; the default threshold is now 0.9 — the
+    near-DUP regime — where 8 planes × 9 tables meet the target, and
+    explicit low thresholds cap at 64 tables with the achieved recall
+    computable via ``lsh_recall_at``). The sketch derivation is
     engine-portable, so the DuckDB oracle mirrors this path
-    bit-for-bit — candidates included.
+    bit-for-bit — candidates included — and the ``d5b`` recall query
+    measures the pruned path against the exact pair set so missed
+    pairs are a visible number, not a silent gap.
 
     ``exact=True`` keeps the all-pairs join: the small-scale
-    ground-truth path (recall tests, ad-hoc audits) — NOT wired into
-    any default pipeline."""
-    from scrapetition_spark.operators.similarity import cosine, lsh_sketch_tables
+    ground-truth path (recall tests, d5b's denominator, ad-hoc
+    audits) — NOT wired into any default pipeline."""
+    from scrapetition_spark.operators.similarity import (
+        cosine,
+        lsh_params_for,
+        lsh_sketch_tables,
+    )
 
+    if n_planes is None or n_tables is None:
+        auto_p, auto_t = lsh_params_for(threshold)
+        n_planes = n_planes if n_planes is not None else auto_p
+        n_tables = n_tables if n_tables is not None else auto_t
     if exact:
         a = embeddings.select(
             F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")

@@ -198,6 +198,43 @@ def lsh_sketch(embeddings: DataFrame, n_planes: int = 16, seed: int = 7) -> Data
     )
 
 
+def lsh_params_for(
+    threshold: float,
+    target_recall: float = 0.95,
+    n_planes: int = 8,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """(n_planes, n_tables) sized so sign-sketch candidate generation
+    reaches ``target_recall`` for pairs AT the cosine threshold
+    (pairs above it collide more often). Standard LSH algebra: a
+    threshold pair agrees with one hyperplane w.p.
+    p1 = 1 - acos(t)/pi, collides in one table w.p. p1^n_planes, so
+    recall over T tables is 1-(1-p1^n_planes)^T. n_planes stays at 8
+    (the bucket-selectivity anchor: random pairs collide per table
+    w.p. ~2^-8) and T is solved for the recall target, capped at
+    ``max_tables`` — the cap binds only for low thresholds, where
+    "near-duplicate" is a misnomer anyway and the achieved recall is
+    what tests/oracles then report (ADVICE r02: 8x8 at threshold 0.4
+    had ~18% recall while the docstring promised 0.99)."""
+    import math
+
+    p1 = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_table = p1 ** n_planes
+    if p_table >= 1.0:
+        return n_planes, 1
+    need = math.log(max(1e-12, 1.0 - target_recall)) / math.log(1.0 - p_table)
+    return n_planes, max(1, min(max_tables, math.ceil(need)))
+
+
+def lsh_recall_at(threshold: float, n_planes: int, n_tables: int) -> float:
+    """Analytic recall of the (n_planes, n_tables) sketch join for a
+    pair exactly at the cosine threshold."""
+    import math
+
+    p1 = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    return 1.0 - (1.0 - p1 ** n_planes) ** n_tables
+
+
 def lsh_sketch_tables(
     embeddings: DataFrame, n_planes: int = 8, n_tables: int = 8, seed0: int = 7
 ) -> DataFrame:

@@ -75,17 +75,21 @@ def test_simhash_planted_near_dup(spark, docs):
     assert (9201, 9202) in pairs
 
 
-def _py_simhash(text: str, bits: int = 32) -> int:
-    """Pure-Python mirror of dedup.simhash (md5 hex-char parity +
+def _py_simhash(text: str) -> int:
+    """Pure-Python mirror of dedup.simhash (64-bit: md5 hex-char
+    parity for bits 0-31, md5('x'+tok) parity for bits 32-63,
     majority vote) for ground-truth recall checks."""
     import hashlib
 
-    votes = [0] * bits
+    votes = [0] * 64
     for tok in text.split(" "):
-        h = hashlib.md5(tok.encode()).hexdigest()
-        for i in range(bits):
+        h = (
+            hashlib.md5(tok.encode()).hexdigest()
+            + hashlib.md5(b"x" + tok.encode()).hexdigest()
+        )
+        for i in range(64):
             votes[i] += 1 if ord(h[i]) % 2 == 1 else -1
-    return sum(1 << i for i in range(bits) if votes[i] > 0)
+    return sum(1 << i for i in range(64) if votes[i] > 0)
 
 
 def test_simhash_banding_full_recall(spark, docs):
