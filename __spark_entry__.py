@@ -125,7 +125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return A.a3_graph_bfs(_t(spark, sf, "orders"), _t(spark, sf, "lineitem"))
 
     def c12(spark, sf):
-        # default strategy (auto → recursive-CTE UnionLoop plan)
+        # default strategy (auto → delta-frontier iterative; the
+        # measured winner of tools/c12_ab.py, 1.92 vs 2.99 s median)
         comments = comments_from_events(_t(spark, sf, "events"))
         out = propagate_threads(comments, domain_col=None, with_depth=True)
         return out.select("id", "thread", "depth")
