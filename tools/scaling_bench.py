@@ -256,7 +256,8 @@ def main() -> None:
         f"_Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by tools/scaling_bench.py_",
     ]
     os.makedirs("/root/repo/BENCH", exist_ok=True)
-    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+    out_path = os.environ.get("SCALING_OUT", "/root/repo/BENCH/BASELINE.md")
+    with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({
         "best": {c: best[c] for c in levels},
