@@ -118,6 +118,12 @@ class CrawlConfig:
     # anti-join scans only touched buckets (O(epoch activity), not
     # O(table)); production = 256+ so per-bucket data stays bounded
     n_item_buckets: int = 8
+    # item tables smaller than this stay in plain appended files (one
+    # anti-join job, no bucket bookkeeping); the first MERGE after
+    # crossing pays one consolidating rewrite into buckets, then every
+    # epoch is bucket-pruned. None = env SPARK_GRAFT_BUCKET_MIN_BYTES
+    # or 256 MiB.
+    item_bucket_min_bytes: int | None = None
     sequential: bool = False  # 1 URL/epoch: bit-exact reference ordering
     respect_robots: bool = False  # north-rule addition (absent in reference)
     bloom_bits_per_key: int = 16  # seen-set bloom sizing

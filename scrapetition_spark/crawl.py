@@ -569,6 +569,7 @@ class CrawlEngine:
                     self.cat.merge_insert, tbl, batch, keys, schema, order,
                     _item_bucket(keys),
                     {"n_item_buckets": cfg.n_item_buckets},
+                    cfg.item_bucket_min_bytes,
                 )
                 for tbl, batch, keys, schema, order in sink_tasks
             ]

@@ -186,6 +186,22 @@ class Catalog:
             return self._commit(table, prev.files, parts=prev.parts)
         return self._commit(table, [])
 
+    def table_bytes(self, table: str) -> int:
+        """On-disk bytes of the member files at HEAD (driver-side
+        stat, no Spark job) — ≙ Iceberg's total-files-size snapshot
+        summary; drives the adaptive bucketing policy below."""
+        if not self.exists(table):
+            return 0
+        total = 0
+        for d in self._paths(self._snapshot(table, self.head(table))):
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        return total
+
     def partition_state(self, table: str) -> tuple[bool, dict[str, list[str]]]:
         """(has_plain_files, parts) at HEAD — callers use this to
         decide between a partition-scoped commit and a full rewrite
@@ -334,6 +350,7 @@ class Catalog:
         order_cols: list[str] | None = None,
         bucket_expr: F.Column | None = None,
         bucket_spec: dict | None = None,
+        bucket_min_bytes: int | None = None,
     ) -> int:
         """MERGE ... WHEN NOT MATCHED THEN INSERT (≙ INSERT OR IGNORE,
         Sql.hs:19-105). Batch-internal duplicates collapse to the
@@ -347,7 +364,21 @@ class Catalog:
         rewriting anything — per-epoch cost O(touched buckets), never
         O(table). This is the scale path for the item/edge sinks
         (VERDICT r02: the whole-table ``self.read`` here was the last
-        quadratic in the epoch loop)."""
+        quadratic in the epoch loop).
+
+        The bucketed layout is ADAPTIVE (``bucket_min_bytes``,
+        default env SPARK_GRAFT_BUCKET_MIN_BYTES or 256 MiB): while
+        the table is smaller than the threshold the MERGE takes the
+        plain path — one anti-join job + a coalesced append, no batch
+        checkpoint, no touched-bucket job, no partitioned shuffle
+        write — because pruning a small table saves nothing and the
+        bucket bookkeeping costs ~3 Spark jobs per sink per epoch
+        (measured: first-epoch sinks 126.7 s vs 47.8 s at local[32]
+        on the 2.1M-URL scaling job when bucketing from birth). The
+        first MERGE after the table crosses the threshold pays one
+        consolidating rewrite, then every later epoch is pruned —
+        the long-crawl quadratic stays dead. Pass 0 to bucket from
+        birth (tests), or None for the default."""
         cols = [f.name for f in schema.fields]
         if order_cols:
             # first-occurrence-in-order dedup as a hash aggregate
@@ -373,7 +404,20 @@ class Catalog:
             return self.append(table, fresh)
 
         # ---- bucketed MERGE -------------------------------------------------
-        has_plain, _ = self.partition_state(table)
+        has_plain, parts = self.partition_state(table)
+        if bucket_min_bytes is None:
+            bucket_min_bytes = int(
+                os.environ.get("SPARK_GRAFT_BUCKET_MIN_BYTES", 256 << 20)
+            )
+        already_bucketed = self.exists(table) and bool(parts) and not has_plain
+        if not already_bucketed and self.table_bytes(table) < bucket_min_bytes:
+            # small-table regime: whole-table anti-join is cheaper
+            # than bucket maintenance; no bucket_spec is recorded so
+            # the eventual conversion consolidates everything.
+            existing = self.read(table, schema)
+            cond = [batch[k].eqNullSafe(existing[k]) for k in keys]
+            fresh = batch.join(existing, cond, "left_anti")
+            return self.append(table, fresh)
         if bucket_spec is not None:
             # bucket layout is only valid under the bucket count it
             # was written with: reopening with a different spec would

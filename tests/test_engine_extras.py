@@ -177,7 +177,8 @@ def test_catalog_bucketed_merge_insert(spark):
     df1 = spark.createDataFrame(
         [(f"k{i}", "a") for i in range(20)], schema
     )
-    cat.merge_insert("t", df1, ["id"], df1.schema, bucket_expr=bexpr)
+    cat.merge_insert("t", df1, ["id"], df1.schema, bucket_expr=bexpr,
+                     bucket_min_bytes=0)
     has_plain, parts1 = cat.partition_state("t")
     assert not has_plain and parts1  # bucketed from birth, no plain files
 
@@ -188,7 +189,8 @@ def test_catalog_bucketed_merge_insert(spark):
         for r in df2.select(F.pmod(F.xxhash64("id"), F.lit(4)).cast("int").alias("b"))
         .distinct().collect()
     }
-    cat.merge_insert("t", df2, ["id"], df2.schema, bucket_expr=bexpr)
+    cat.merge_insert("t", df2, ["id"], df2.schema, bucket_expr=bexpr,
+                     bucket_min_bytes=0)
     _, parts2 = cat.partition_state("t")
     for k in parts1:
         if k not in touched:
@@ -204,7 +206,8 @@ def test_catalog_bucketed_merge_insert(spark):
     # counts bounded: never more than the compaction threshold dirs
     for i in range(18):
         d = spark.createDataFrame([(f"k{i}", "dup"), (f"x{i}", "c")], schema)
-        cat.merge_insert("t", d, ["id"], d.schema, bucket_expr=bexpr)
+        cat.merge_insert("t", d, ["id"], d.schema, bucket_expr=bexpr,
+                         bucket_min_bytes=0)
     _, parts3 = cat.partition_state("t")
     assert max(len(v) for v in parts3.values()) <= 16
     rows = {r["id"]: r["v"] for r in cat.read("t").collect()}
@@ -214,10 +217,64 @@ def test_catalog_bucketed_merge_insert(spark):
     cat2 = Catalog(spark, tempfile.mkdtemp(prefix="bmerge2-"))
     cat2.append("t", df1)
     assert cat2.partition_state("t")[0] is True
-    cat2.merge_insert("t", df2, ["id"], df2.schema, bucket_expr=bexpr)
+    cat2.merge_insert("t", df2, ["id"], df2.schema, bucket_expr=bexpr,
+                      bucket_min_bytes=0)
     has_plain, parts = cat2.partition_state("t")
     assert has_plain is False and parts
     assert cat2.read("t").count() == 21
+
+
+def test_catalog_adaptive_bucket_threshold(spark):
+    """Adaptive bucketing: MERGEs below ``bucket_min_bytes`` stay on
+    the cheap plain-append path (no bucket bookkeeping while pruning
+    saves nothing); the first MERGE after the table crosses the
+    threshold consolidates into buckets ONCE, and every later MERGE is
+    bucket-pruned with dedup semantics unchanged throughout."""
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="abucket-"))
+    bexpr = F.pmod(F.xxhash64("id"), F.lit(4)).cast("int")
+    schema = "id string, v string"
+    big = 1 << 16  # each tiny commit is a few KB
+
+    df1 = spark.createDataFrame([(f"k{i}", "a") for i in range(20)], schema)
+    cat.merge_insert("t", df1, ["id"], df1.schema, bucket_expr=bexpr,
+                     bucket_min_bytes=big)
+    has_plain, parts = cat.partition_state("t")
+    assert has_plain and not parts  # small table: plain files, no buckets
+
+    # still below threshold: plain append, dedup against whole table
+    df2 = spark.createDataFrame([("k0", "XX"), ("new", "b")], schema)
+    cat.merge_insert("t", df2, ["id"], df2.schema, bucket_expr=bexpr,
+                     bucket_min_bytes=big)
+    assert cat.partition_state("t")[0] is True
+    rows = {r["id"]: r["v"] for r in cat.read("t").collect()}
+    assert rows["k0"] == "a" and rows["new"] == "b" and len(rows) == 21
+
+    # force the threshold crossing: next MERGE consolidates to buckets
+    df3 = spark.createDataFrame([("k0", "YY"), ("late", "c")], schema)
+    cat.merge_insert("t", df3, ["id"], df3.schema, bucket_expr=bexpr,
+                     bucket_min_bytes=1)
+    has_plain, parts = cat.partition_state("t")
+    assert has_plain is False and parts  # consolidated into buckets
+    rows = {r["id"]: r["v"] for r in cat.read("t").collect()}
+    assert rows["k0"] == "a" and rows["late"] == "c" and len(rows) == 22
+
+    # once bucketed, stays bucketed (even if "size" is below threshold
+    # again): untouched bucket dirs are carried forward verbatim
+    df4 = spark.createDataFrame([("k0", "ZZ"), ("tail", "d")], schema)
+    before = dict(parts)
+    cat.merge_insert("t", df4, ["id"], df4.schema, bucket_expr=bexpr,
+                     bucket_min_bytes=1 << 30)
+    has_plain, after = cat.partition_state("t")
+    assert has_plain is False and after
+    touched = {
+        str(r["b"])
+        for r in df4.select(bexpr.alias("b")).distinct().collect()
+    }
+    for k in before:
+        if k not in touched:
+            assert after[k] == before[k]
+    rows = {r["id"]: r["v"] for r in cat.read("t").collect()}
+    assert rows["k0"] == "a" and rows["tail"] == "d" and len(rows) == 23
 
 
 def test_select_urls_where(spark):
