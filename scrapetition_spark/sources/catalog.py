@@ -43,6 +43,29 @@ from pyspark.sql.types import StructType
 from scrapetition_spark.session import local_df
 
 
+def _env_int(name: str, default: int) -> int:
+    raw = os.environ.get(name)
+    if raw is None:
+        return int(default)
+    try:
+        return int(raw)
+    except ValueError as e:
+        raise ValueError(
+            f"environment override {name}={raw!r} is not an integer"
+        ) from e
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -52,6 +75,11 @@ class Snapshot:
     # and carries the rest forward untouched (≙ Iceberg partition-
     # scoped overwrite: manifests of untouched partitions are reused).
     parts: dict[str, list[str]]
+    # member dir → on-disk bytes, recorded AT WRITE TIME and carried
+    # forward with the dir (≙ Iceberg's total-files-size snapshot
+    # summary): table_bytes sums these instead of re-walking the data
+    # dir on every sub-threshold MERGE (ADVICE r03).
+    sizes: dict[str, int]
 
 
 class Catalog:
@@ -66,9 +94,21 @@ class Catalog:
         # (b) serializes on filesystem contention (measured: a 64-file
         # parquet write is 2.7× slower than 8-file at 32 local
         # threads). Raise for genuinely huge single commits.
-        self.write_partitions = int(
-            os.environ.get("SPARK_GRAFT_WRITE_PARTITIONS", write_partitions)
+        self.write_partitions = _env_int(
+            "SPARK_GRAFT_WRITE_PARTITIONS", write_partitions
         )
+        # parsed ONCE at construction so a malformed env override
+        # fails here with a clear message, not mid-crawl inside a
+        # sink thread-pool task (ADVICE r03)
+        self.bucket_min_bytes_default = _env_int(
+            "SPARK_GRAFT_BUCKET_MIN_BYTES", 256 << 20
+        )
+        # plain (non-bucketed) member-dir cap: a sub-threshold MERGE
+        # converts to the bucketed layout when the table accumulates
+        # more dirs than this, even below the byte threshold — long
+        # sub-threshold crawls would otherwise grow O(epochs) dirs
+        # that every anti-join and manifest carry re-touches
+        self.max_plain_dirs = _env_int("SPARK_GRAFT_MAX_PLAIN_DIRS", 64)
         os.makedirs(root, exist_ok=True)
 
     # ----- snapshot plumbing ------------------------------------------------
@@ -90,16 +130,28 @@ class Catalog:
     def _snapshot(self, table: str, snapshot_id: int) -> Snapshot:
         with open(os.path.join(self._tdir(table), f"snap-{snapshot_id}.json")) as f:
             d = json.load(f)
-            return Snapshot(snapshot_id, d["files"], d.get("parts", {}))
+            return Snapshot(
+                snapshot_id, d["files"], d.get("parts", {}), d.get("sizes", {})
+            )
 
     def _commit(
-        self, table: str, files: list[str], parts: dict[str, list[str]] | None = None
+        self,
+        table: str,
+        files: list[str],
+        parts: dict[str, list[str]] | None = None,
+        carry_sizes: dict[str, int] | None = None,
     ) -> int:
         sid = self.head(table) + 1
         tdir = self._tdir(table)
         os.makedirs(tdir, exist_ok=True)
+        # size summary: dirs carried forward keep their recorded
+        # bytes; only dirs NEW in this commit are walked (bounded by
+        # the commit, never by the table)
+        carry = carry_sizes or {}
+        members = list(files) + [p for dirs in (parts or {}).values() for p in dirs]
+        sizes = {p: carry[p] if p in carry else _dir_bytes(p) for p in members}
         with open(os.path.join(tdir, f"snap-{sid}.json"), "w") as f:
-            json.dump({"files": files, "parts": parts or {}}, f)
+            json.dump({"files": files, "parts": parts or {}, "sizes": sizes}, f)
         tmp = self._head_path(table) + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(sid))
@@ -169,13 +221,15 @@ class Catalog:
     ) -> int:
         prev_files: list[str] = []
         prev_parts: dict[str, list[str]] = {}
+        prev_sizes: dict[str, int] = {}
         if self.exists(table):
             prev = self._snapshot(table, self.head(table))
-            prev_files, prev_parts = prev.files, prev.parts
+            prev_files, prev_parts, prev_sizes = prev.files, prev.parts, prev.sizes
         return self._commit(
             table,
             prev_files + self._write_files(table, df, hint_partitions),
             parts=prev_parts,
+            carry_sizes=prev_sizes,
         )
 
     def empty_commit(self, table: str) -> int:
@@ -183,24 +237,25 @@ class Catalog:
         writes keeps snapshot ids aligned with epochs if desired)."""
         if self.exists(table):
             prev = self._snapshot(table, self.head(table))
-            return self._commit(table, prev.files, parts=prev.parts)
+            return self._commit(table, prev.files, parts=prev.parts,
+                                carry_sizes=prev.sizes)
         return self._commit(table, [])
 
     def table_bytes(self, table: str) -> int:
-        """On-disk bytes of the member files at HEAD (driver-side
-        stat, no Spark job) — ≙ Iceberg's total-files-size snapshot
-        summary; drives the adaptive bucketing policy below."""
+        """On-disk bytes of the member files at HEAD, summed from the
+        per-dir byte totals the manifest records at write time (≙
+        Iceberg's total-files-size snapshot summary) — no os.walk of
+        the data dir per call (ADVICE r03: the walk grew with file
+        accumulation and every sub-threshold MERGE paid it). Dirs
+        from manifests predating the summary fall back to one stat
+        walk."""
         if not self.exists(table):
             return 0
-        total = 0
-        for d in self._paths(self._snapshot(table, self.head(table))):
-            for root, _dirs, files in os.walk(d):
-                for f in files:
-                    try:
-                        total += os.path.getsize(os.path.join(root, f))
-                    except OSError:
-                        pass
-        return total
+        snap = self._snapshot(table, self.head(table))
+        return sum(
+            snap.sizes[d] if d in snap.sizes else _dir_bytes(d)
+            for d in self._paths(snap)
+        )
 
     def partition_state(self, table: str) -> tuple[bool, dict[str, list[str]]]:
         """(has_plain_files, parts) at HEAD — callers use this to
@@ -230,7 +285,7 @@ class Catalog:
         prev = (
             self._snapshot(table, self.head(table))
             if self.exists(table)
-            else Snapshot(-1, [], {})
+            else Snapshot(-1, [], {}, {})
         )
         if touched is not None and prev.files:
             raise ValueError(
@@ -268,7 +323,7 @@ class Catalog:
                 parts[k] = (
                     [os.path.join(out, f"__part={k}")] if k in found else []
                 )
-        return self._commit(table, [], parts=parts)
+        return self._commit(table, [], parts=parts, carry_sizes=prev.sizes)
 
     def read_buckets(
         self, table: str, schema: StructType, buckets: list[int]
@@ -297,7 +352,7 @@ class Catalog:
         prev = (
             self._snapshot(table, self.head(table))
             if self.exists(table)
-            else Snapshot(-1, [], {})
+            else Snapshot(-1, [], {}, {})
         )
         part = f"part-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self._tdir(table), "data", part)
@@ -316,7 +371,7 @@ class Catalog:
         parts = {k: list(v) for k, v in prev.parts.items()}
         for k in sorted(found):
             parts.setdefault(k, []).append(os.path.join(out, f"__part={k}"))
-        return self._commit(table, prev.files, parts)
+        return self._commit(table, prev.files, parts, carry_sizes=prev.sizes)
 
     def compact_buckets(self, table: str, max_files: int = 16) -> int | None:
         """Fold any bucket whose member-dir list exceeds ``max_files``
@@ -339,7 +394,7 @@ class Catalog:
                 "overwrite"
             ).parquet(out)
             parts[k] = [out]
-        return self._commit(table, snap.files, parts)
+        return self._commit(table, snap.files, parts, carry_sizes=snap.sizes)
 
     def merge_insert(
         self,
@@ -394,30 +449,47 @@ class Catalog:
             )
         else:
             batch = batch.select(*cols).dropDuplicates(keys)
-        if bucket_expr is None:
+        def plain_merge() -> int:
             existing = self.read(table, schema)
             # null-safe key comparison (eqNullSafe) — UNIQUE treats
             # NULLs as distinct in SQLite, but our keys are never null
             # in practice.
             cond = [batch[k].eqNullSafe(existing[k]) for k in keys]
-            fresh = batch.join(existing, cond, "left_anti")
+            # materialize once so the emptiness probe and the write
+            # share one anti-join execution; a MERGE whose every key
+            # already exists (common for the sparse item sinks of a
+            # long crawl) then commits NO new data dir — without this
+            # a sub-threshold sink grows one dir per epoch forever
+            # (ADVICE r03: an O(epochs) file-count quadratic of the
+            # same class the r03 bucketing removed)
+            fresh = batch.join(existing, cond, "left_anti").localCheckpoint()
+            if fresh.isEmpty():
+                return self.empty_commit(table)
             return self.append(table, fresh)
+
+        if bucket_expr is None:
+            return plain_merge()
 
         # ---- bucketed MERGE -------------------------------------------------
         has_plain, parts = self.partition_state(table)
         if bucket_min_bytes is None:
-            bucket_min_bytes = int(
-                os.environ.get("SPARK_GRAFT_BUCKET_MIN_BYTES", 256 << 20)
-            )
+            bucket_min_bytes = self.bucket_min_bytes_default
         already_bucketed = self.exists(table) and bool(parts) and not has_plain
-        if not already_bucketed and self.table_bytes(table) < bucket_min_bytes:
+        n_plain_dirs = len(self._snapshot(table, self.head(table)).files) \
+            if self.exists(table) else 0
+        if (
+            not already_bucketed
+            and self.table_bytes(table) < bucket_min_bytes
+            and n_plain_dirs <= self.max_plain_dirs
+        ):
             # small-table regime: whole-table anti-join is cheaper
             # than bucket maintenance; no bucket_spec is recorded so
-            # the eventual conversion consolidates everything.
-            existing = self.read(table, schema)
-            cond = [batch[k].eqNullSafe(existing[k]) for k in keys]
-            fresh = batch.join(existing, cond, "left_anti")
-            return self.append(table, fresh)
+            # the eventual conversion consolidates everything. The
+            # dir-count guard bounds the plain regime in FILES too:
+            # a crawl that stays under the byte threshold for
+            # thousands of epochs converts once max_plain_dirs is
+            # hit instead of accumulating O(epochs) dirs.
+            return plain_merge()
         if bucket_spec is not None:
             # bucket layout is only valid under the bucket count it
             # was written with: reopening with a different spec would
@@ -450,6 +522,77 @@ class Catalog:
         fresh = batch.join(existing, cond, "left_anti").drop("__mb")
         sid = self.append_partitions(table, fresh, bucket_expr)
         return self.compact_buckets(table) or sid
+
+    def expire_snapshots(self, table: str, keep_last: int = 2) -> int:
+        """Delete snapshot manifests older than the newest
+        ``keep_last`` and every data dir no retained snapshot
+        references (≙ Iceberg ``expire_snapshots`` + orphan-file
+        removal). Long crawls commit one snapshot per table per epoch;
+        without expiry both the ``snap-*.json`` count and the
+        superseded data dirs grow O(epochs) (VERDICT r03 #8). Time
+        travel remains available within the retained window; reads at
+        expired ids raise (same contract as Iceberg). Returns the
+        number of filesystem entries removed."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        head = self.head(table)
+        if head < 0:
+            return 0
+        tdir = self._tdir(table)
+        cutoff = head - keep_last + 1
+        referenced: set[str] = set()
+        kept_ids = []
+        for sid in range(max(0, cutoff), head + 1):
+            try:
+                snap = self._snapshot(table, sid)
+            except FileNotFoundError:
+                continue  # already expired earlier
+            kept_ids.append(sid)
+            referenced.update(os.path.normpath(p) for p in self._paths(snap))
+        removed = 0
+        for name in os.listdir(tdir):
+            if name.startswith("snap-") and name.endswith(".json"):
+                sid = int(name[5:-5])
+                if sid < cutoff:
+                    os.remove(os.path.join(tdir, name))
+                    removed += 1
+        data = os.path.join(tdir, "data")
+        if not os.path.isdir(data):
+            return removed
+        for part in os.listdir(data):
+            pdir = os.path.normpath(os.path.join(data, part))
+            if pdir in referenced:
+                continue
+            subs = [
+                d for d in os.listdir(pdir) if d.startswith("__part=")
+            ] if os.path.isdir(pdir) else []
+            if subs:
+                # partitioned write dir: retire only unreferenced
+                # buckets (a scoped commit may still reference some)
+                alive = False
+                for d in subs:
+                    sub = os.path.normpath(os.path.join(pdir, d))
+                    if sub in referenced:
+                        alive = True
+                    else:
+                        shutil.rmtree(sub, ignore_errors=True)
+                        removed += 1
+                if alive:
+                    continue
+                # non-__part residue (e.g. _SUCCESS) keeps nothing alive
+                shutil.rmtree(pdir, ignore_errors=True)
+            else:
+                shutil.rmtree(pdir, ignore_errors=True)
+                removed += 1
+        return removed
+
+    def tables(self) -> list[str]:
+        """Every table with a committed snapshot under this root."""
+        out = []
+        for name in sorted(os.listdir(self.root)):
+            if os.path.isfile(os.path.join(self.root, name, "_HEAD")):
+                out.append(name)
+        return out
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self._tdir(table), ignore_errors=True)
