@@ -1124,8 +1124,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "s3_ann_ivf": """
             WITH cents AS (
+              -- hash-spread deterministic anchor sample, mirroring
+              -- similarity.ivf_anchors: smallest md5(vec_id) hex wins
               SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c_emb
-              FROM embeddings WHERE vec_id < 16),
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
             asg AS (
               SELECT vec_id, cell FROM (
                 SELECT e.vec_id, c.cell,

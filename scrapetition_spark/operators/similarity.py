@@ -39,12 +39,25 @@ def cosine_topk(
     query_ids: list[int] | None = None,
     k: int = 5,
     round_to: int = 4,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors for the query set (brute force).
     Cosine is rounded before ranking so the ordering is reproducible
-    across engines/float paths; ties break on neighbor_id."""
+    across engines/float paths; ties break on neighbor_id.
+
+    ``query_ids=None`` broadcasts the ENTIRE corpus as the query side
+    — an O(n²) all-pairs join that dies at scale; it must be opted
+    into explicitly (``allow_all_pairs=True``, small corpora/ground
+    truth only; VERDICT r03 #3). The scale path for all-vs-all is
+    ``embedding_neardups``'s sketch-bucketed candidates."""
     from pyspark.sql import Window
 
+    if query_ids is None and not allow_all_pairs:
+        raise ValueError(
+            "cosine_topk(query_ids=None) broadcasts the whole corpus "
+            "as the query side (O(n^2)); pass query_ids, or "
+            "allow_all_pairs=True for small/ground-truth corpora"
+        )
     q = embeddings.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -102,35 +115,51 @@ def sketch_expr(n_planes: int, seed: int) -> Column:
     return sketch
 
 
+def ivf_anchors(embeddings: DataFrame, n_cells: int) -> DataFrame:
+    """Deterministic hash-spread anchor sample: the ``n_cells``
+    vectors with the smallest ``md5(vec_id)`` hex string. Unlike the
+    r03 first-n_cells rule, the sample is UNcorrelated with insertion
+    order (ids are usually assigned in ingest order, so low ids
+    cluster in early shards/time) while staying reproducible in any
+    engine with md5 — the DuckDB twin mirrors the expression verbatim
+    (VERDICT r03 #7). Executes as a distributed TakeOrdered (per-
+    partition top-n + driver merge of n_cells rows), never a full
+    sort shuffle."""
+    return (
+        embeddings.orderBy(
+            F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+        )
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb"))
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame, n_cells: int = 16, round_to: int = 6
 ) -> DataFrame:
-    """IVF coarse quantizer: deterministic anchors (the first
-    ``n_cells`` vec_ids — IVF-from-sample), every vector assigned to
-    its max-cosine cell. One broadcast pass over the corpus
-    (O(n·n_cells), the standard IVF build); cells then PARTITION the
-    corpus so a search touches only ``n_probe/n_cells`` of it.
-    Cosines are rounded before the argmax (ties → smaller cell id) so
-    the assignment is bit-reproducible across engines — the DuckDB
-    oracle mirrors it exactly."""
-    from pyspark.sql import Window
-
-    cents = embeddings.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
-    )
+    """IVF coarse quantizer: deterministic hash-sampled anchors
+    (``ivf_anchors``), every vector assigned to its max-cosine cell
+    (cell id = the anchor's vec_id). One broadcast pass over the
+    corpus (O(n·n_cells), the standard IVF build); cells then
+    PARTITION the corpus so a search touches only
+    ``n_probe/n_cells`` of it. Cosines are rounded before the argmax
+    (ties → smaller cell id) so the assignment is bit-reproducible
+    across engines — the DuckDB oracle mirrors it exactly. The argmax
+    is a ``min_by`` hash aggregate (map-side partial agg), not a
+    row_number window, which would sort-shuffle on the
+    high-cardinality vec_id (VERDICT r03 #6)."""
+    cents = ivf_anchors(embeddings, n_cells)
     sims = embeddings.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
         "cell",
         F.round(cosine(F.col("embedding"), F.col("c_emb")), round_to).alias("csim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("cell").asc()
-    )
+    key = F.struct((-F.col("csim")).alias("s"), F.col("cell").alias("c"))
     return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
+        sims.groupBy("vec_id")
+        .agg(F.min_by(F.struct("embedding", "cell"), key).alias("__r"))
+        .select("vec_id", "__r.embedding", "__r.cell")
     )
 
 
@@ -150,9 +179,7 @@ def ann_ivf_topk(
     from pyspark.sql import Window
 
     assigned = ivf_assign(embeddings, n_cells)
-    cents = embeddings.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
-    )
+    cents = ivf_anchors(embeddings, n_cells)
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
