@@ -53,6 +53,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--robots", default=None,
                    help="parquet of (host, path_prefix, allow)")
     p.add_argument("--dispatchers", choices=["zeit", "all-links"], default="zeit")
+    # per-table name overrides (app/Main.hs:117-131; reference
+    # defaults: comments / users / comment_voting — ours keep the
+    # engine's physical names unless overridden)
+    p.add_argument("--items-table", default="comments", metavar="ITEMTABLE",
+                   help="table name for scraped items")
+    p.add_argument("--users-table", default="users", metavar="USERTABLE",
+                   help="table name for scraped users")
+    p.add_argument("--voting-table", default="votes", metavar="VOTINGTABLE",
+                   help="table name for voting by users about items")
     args = p.parse_args(argv)
 
     from scrapetition_spark.config import (
@@ -82,6 +91,15 @@ def main(argv: list[str] | None = None) -> int:
         dispatchers=(
             ZEIT_DE_DISPATCHERS if args.dispatchers == "zeit" else ALL_LINKS_DISPATCHERS
         ),
+        table_names={
+            k: v
+            for k, v in (
+                ("comments", args.items_table),
+                ("users", args.users_table),
+                ("votes", args.voting_table),
+            )
+            if k != v
+        },
     )
     documents = spark.read.parquet(args.documents)
     robots = spark.read.parquet(args.robots) if args.robots else None

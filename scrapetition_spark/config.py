@@ -145,4 +145,8 @@ class CrawlConfig:
     sequential: bool = False  # 1 URL/epoch: bit-exact reference ordering
     respect_robots: bool = False  # north-rule addition (absent in reference)
     bloom_bits_per_key: int = 16  # seen-set bloom sizing
+    # logical→physical table-name overrides (≙ --items-table /
+    # --users-table / --voting-table, app/Main.hs:117-131); e.g.
+    # {"comments": "items", "votes": "comment_voting"}
+    table_names: dict = field(default_factory=dict)
     extra: dict = field(default_factory=dict)

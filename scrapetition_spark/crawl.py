@@ -97,6 +97,10 @@ class CrawlEngine:
         bloom_mode: str = "auto",
     ):
         self.spark = spark
+        if cfg.table_names:
+            from scrapetition_spark.sources.catalog import RenamedCatalog
+
+            catalog = RenamedCatalog(catalog, cfg.table_names)
         self.cat = catalog
         self.cfg = cfg
         self.documents = documents

@@ -596,3 +596,29 @@ class Catalog:
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self._tdir(table), ignore_errors=True)
+
+
+class RenamedCatalog:
+    """Logical→physical table-name view over a Catalog (≙ the
+    reference's ``--items-table`` / ``--users-table`` /
+    ``--voting-table`` overrides, app/Main.hs:117-131): the engine
+    keeps addressing logical names ("comments", "users", "votes");
+    the mapping decides where they live. Unmapped names pass
+    through."""
+
+    _NO_TABLE_ARG = {"tables"}
+
+    def __init__(self, inner: Catalog, names: dict[str, str]):
+        self._inner = inner
+        self._names = dict(names)
+
+    def __getattr__(self, attr):
+        f = getattr(self._inner, attr)
+        if not callable(f) or attr in self._NO_TABLE_ARG:
+            return f
+        names = self._names
+
+        def wrapped(table, *a, **k):
+            return f(names.get(table, table), *a, **k)
+
+        return wrapped

@@ -141,6 +141,26 @@ def test_hostile_values_survive_round_trip(spark):
     assert urls.count() == len(sim.inserted_urls)
 
 
+def test_table_name_overrides(spark):
+    """≙ --items-table/--users-table/--voting-table
+    (app/Main.hs:117-131): the engine addresses logical names, the
+    mapping decides the physical tables — including the reference's
+    own default 'comment_voting'."""
+    site = fixture_site()
+    docs = documents_df(spark, site)
+    cfg = CrawlConfig("www.zeit.de", follow_links=True, sequential=True,
+                      politeness_sec=0,
+                      table_names={"comments": "items",
+                                   "votes": "comment_voting"})
+    eng, cat = _engine(spark, docs, cfg, use_bloom=False)
+    eng.seed([SEED])
+    eng.run(max_epochs=4)
+    assert cat.exists("items") and not cat.exists("comments")
+    assert cat.read("items", COMMENTS).count() > 0
+    # the engine's own view resolves logical names transparently
+    assert eng.cat.read("comments", COMMENTS).count() > 0
+
+
 # --------------------------------------------------------------------------
 # catalog hygiene
 

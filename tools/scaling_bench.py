@@ -46,7 +46,7 @@ print("GENERATED")
 """
 
 RUNNER = r"""
-import json, shutil, sys, time, tempfile
+import json, os, shutil, sys, time, tempfile
 sys.path.insert(0, "/root/repo")
 from scrapetition_spark.session import get_spark
 from scrapetition_spark.config import CrawlConfig, Dispatcher
@@ -64,7 +64,14 @@ cfg = CrawlConfig(
     politeness_sec=0, per_host_budget=1000, max_urls_per_epoch=None,
     dispatchers=(Dispatcher("bench", r"^https://h\d+\.test/.*", "comment",
                             url_collectors=("js-comment-loader", "pager__page")),),
+    # A/B knob: 0 forces the plain-shuffle-join path everywhere
+    broadcast_max_rows=int(os.environ.get("SPARK_GRAFT_BCAST_MAX", 4_000_000)),
 )
+# device-isolation probe: SPARK_GRAFT_CAT_DIR=/dev/shm/... puts the
+# catalog (all sink writes) on tmpfs instead of the shared ext4 disk
+_cat_parent = os.environ.get("SPARK_GRAFT_CAT_DIR")
+if _cat_parent:
+    os.makedirs(_cat_parent, exist_ok=True)
 
 # Two identical passes on fresh catalogs: the first warms the page
 # cache (386 MB input) + JIT + python workers and is DISCARDED — a
@@ -72,7 +79,7 @@ cfg = CrawlConfig(
 # cold vs 77 s warm for the identical job). The second is reported.
 obs = []
 for attempt in range(2):
-    cat_dir = tempfile.mkdtemp(prefix=f"scale{cpus}-")
+    cat_dir = tempfile.mkdtemp(prefix=f"scale{cpus}-", dir=_cat_parent)
     cat = Catalog(spark, cat_dir)
     eng = CrawlEngine(spark, cat, cfg, web, expected_urls=1 << 22)
     # seed the whole corpus: the epoch must be big enough that
