@@ -66,6 +66,23 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _parquet_rows(path: str) -> int:
+    """Total row count of the parquet files under ``path``, read from
+    the file footers driver-side — no Spark job. Returns -1 (treated
+    as "not empty" by callers) if any footer is unreadable."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                except Exception:
+                    return -1
+    return total
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -219,6 +236,9 @@ class Catalog:
     def append(
         self, table: str, df: DataFrame, hint_partitions: int | None = None
     ) -> int:
+        return self._append_files(table, self._write_files(table, df, hint_partitions))
+
+    def _append_files(self, table: str, new_files: list[str]) -> int:
         prev_files: list[str] = []
         prev_parts: dict[str, list[str]] = {}
         prev_sizes: dict[str, int] = {}
@@ -227,10 +247,28 @@ class Catalog:
             prev_files, prev_parts, prev_sizes = prev.files, prev.parts, prev.sizes
         return self._commit(
             table,
-            prev_files + self._write_files(table, df, hint_partitions),
+            prev_files + new_files,
             parts=prev_parts,
             carry_sizes=prev_sizes,
         )
+
+    def append_skip_empty(self, table: str, df: DataFrame) -> int:
+        """Append ``df``, but if the write produced zero rows, retract
+        the fresh dir and advance the snapshot unchanged
+        (``empty_commit``). Emptiness is read from the written parquet
+        footers driver-side, so the plan behind ``df`` executes exactly
+        ONCE — inside the write. (The first cut probed emptiness with
+        an eager ``localCheckpoint()`` + ``isEmpty()``, which
+        materialized the whole frame to executor-local disk before the
+        real parquet write — doubling sink I/O on every first-epoch
+        MERGE; measured on the 2.1M-URL scaling epoch, see
+        BENCH/BASELINE.md.)"""
+        new_files = self._write_files(table, df)
+        if sum(_parquet_rows(p) for p in new_files) == 0:
+            for p in new_files:
+                shutil.rmtree(p, ignore_errors=True)
+            return self.empty_commit(table)
+        return self._append_files(table, new_files)
 
     def empty_commit(self, table: str) -> int:
         """Advance the snapshot without data change (epoch with no
@@ -455,17 +493,15 @@ class Catalog:
             # NULLs as distinct in SQLite, but our keys are never null
             # in practice.
             cond = [batch[k].eqNullSafe(existing[k]) for k in keys]
-            # materialize once so the emptiness probe and the write
-            # share one anti-join execution; a MERGE whose every key
-            # already exists (common for the sparse item sinks of a
-            # long crawl) then commits NO new data dir — without this
-            # a sub-threshold sink grows one dir per epoch forever
-            # (ADVICE r03: an O(epochs) file-count quadratic of the
-            # same class the r03 bucketing removed)
-            fresh = batch.join(existing, cond, "left_anti").localCheckpoint()
-            if fresh.isEmpty():
-                return self.empty_commit(table)
-            return self.append(table, fresh)
+            # a MERGE whose every key already exists (common for the
+            # sparse item sinks of a long crawl) commits NO new data
+            # dir — without this a sub-threshold sink grows one dir
+            # per epoch forever (ADVICE r03: an O(epochs) file-count
+            # quadratic of the same class the r03 bucketing removed).
+            # append_skip_empty reads emptiness from the written
+            # footers, so the anti-join executes exactly once.
+            fresh = batch.join(existing, cond, "left_anti")
+            return self.append_skip_empty(table, fresh)
 
         if bucket_expr is None:
             return plain_merge()
