@@ -501,10 +501,16 @@ class CrawlEngine:
                 ("url_edges", edges, UNIQUE_KEYS["url_edges"], URL_EDGES, _URL_ORDER)
             )
 
-            # follow gates + within-epoch union dedup → frontier rows
+            # follow gates + within-epoch union dedup → frontier rows.
+            # Lazily checkpointed: the urls-rewrite sink counts it (to
+            # size-gate its broadcast hints on the DEDUPED row count,
+            # not the n_discovered overestimate — fanout× larger) and
+            # that first action materializes it INSIDE the sink pool,
+            # concurrent with the other sinks; both rewrite joins then
+            # reuse the checkpoint instead of re-running the dedup.
             followed = gate_discovered(
                 disc.withColumn("discovery_epoch", F.lit(epoch)), cfg
-            )
+            ).localCheckpoint(eager=False)
         else:
             followed = None
 
@@ -594,7 +600,7 @@ class CrawlEngine:
             futs.append(
                 pool.submit(
                     self._rewrite_urls, urls_now, fetched, disc, followed,
-                    epoch, n_due, n_discovered,
+                    epoch, n_due,
                 )
             )
             snap_fut = pool.submit(_seen_and_bucket_metrics)
@@ -626,15 +632,22 @@ class CrawlEngine:
         followed: DataFrame | None,
         epoch: int,
         n_due: int,
-        n_discovered: int,
     ) -> None:
         now = F.current_timestamp()
         cfg = self.cfg
 
         # same size-gated hint as the epoch joins: fetched is bounded
-        # by n_due, followed by n_discovered — both known here
+        # by n_due; the followed side is gated on its OWN deduped row
+        # count — n_discovered counts raw (source × position) edges,
+        # a fanout× overestimate of the per-target frontier rows that
+        # actually join here (measured: the proxy flipped these joins
+        # to shuffle on the 2.1M-URL scaling epoch and cost ~23 s of
+        # sink time at local[8]). followed is lazily checkpointed, so
+        # this count materializes it once, inside this pool task.
         def hint(df: DataFrame, n_rows: int) -> DataFrame:
             return F.broadcast(df) if n_rows <= cfg.broadcast_max_rows else df
+
+        n_followed = followed.count() if followed is not None else 0
 
         # Commit planning: every row this epoch can change (fetched,
         # discovered, followed) hashes to a commit bucket derivable
@@ -730,7 +743,7 @@ class CrawlEngine:
                 F.col("pos").alias("m_pos"),
             )
             merged = merged.join(
-                hint(fo, n_discovered), F.col("t.url") == F.col("m_url"), "left_outer"
+                hint(fo, n_followed), F.col("t.url") == F.col("m_url"), "left_outer"
             )
         else:
             for c in ("m_url", "m_epoch", "m_seq", "m_didx", "m_pos"):
@@ -784,7 +797,7 @@ class CrawlEngine:
                     F.col("pos").alias("m_pos"),
                 )
                 ins = ins.join(
-                    hint(fo_keys, n_discovered), ins["url"] == fo_keys["m_url"], "left_outer"
+                    hint(fo_keys, n_followed), ins["url"] == fo_keys["m_url"], "left_outer"
                 ).select(
                     "url", "status", "encoding", "first_seen", "last_seen",
                     "first_scraped", "last_scraped", "scraper", "host",

@@ -264,7 +264,10 @@ class Catalog:
         MERGE; measured on the 2.1M-URL scaling epoch, see
         BENCH/BASELINE.md.)"""
         new_files = self._write_files(table, df)
-        if sum(_parquet_rows(p) for p in new_files) == 0:
+        # every dir must be READABLY empty (0): a -1 (unreadable
+        # footer) from one dir must not cancel a +1 from another —
+        # when in doubt, keep the data
+        if all(_parquet_rows(p) == 0 for p in new_files):
             for p in new_files:
                 shutil.rmtree(p, ignore_errors=True)
             return self.empty_commit(table)
