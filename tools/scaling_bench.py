@@ -136,8 +136,12 @@ def main() -> None:
         for cpus in levels:
             r = run_level(cpus, path)
             results[cpus].append(r)
+            st = r.get("stages") or {}
             print(f"rep {rep} local[{cpus}]: {r['fetched']} urls "
-                  f"{r['seconds']:.1f}s {r['ups']:.0f}/s", flush=True)
+                  f"{r['seconds']:.1f}s {r['ups']:.0f}/s "
+                  f"(cold {r['cold_seconds']:.1f}s; "
+                  + " ".join(f"{k}={v:.1f}" for k, v in st.items()) + ")",
+                  flush=True)
     best = {c: max(rs, key=lambda r: r["ups"]) for c, rs in results.items()}
 
     # every JVM contributes BOTH its passes — under the shared sandbox
