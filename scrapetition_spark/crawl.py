@@ -474,18 +474,27 @@ class CrawlEngine:
             ],
         )
         if disc is not None:
-            disc = (
-                disc.join(hint(due_seq, n_due), disc["source"] == due_seq["url"], "inner")
-                .select(
-                    "source",
-                    F.col("fetch_seq").alias("source_fetch_seq"),
-                    "dispatcher_idx",
-                    "pos",
-                    "target",
-                )
-                .localCheckpoint()
-            )
+            td0 = time.time()
+            disc = disc.join(
+                hint(due_seq, n_due), disc["source"] == due_seq["url"], "inner"
+            ).select(
+                "source",
+                F.col("fetch_seq").alias("source_fetch_seq"),
+                "dispatcher_idx",
+                "pos",
+                "target",
+            ).localCheckpoint()
+            td1 = time.time()
             n_discovered = disc.count()
+            if debug:
+                # sub-attribution for the saturation probes (VERDICT
+                # r03 #4): ckpt = span-array URL extraction + lineage
+                # join + block-manager write (one action); count reads
+                # the checkpoint back
+                print(
+                    f"[epoch {epoch}] disc ckpt={td1 - td0:.1f}s "
+                    f"count={time.time() - td1:.1f}s", flush=True,
+                )
         mark("discovered")
 
         urls_now = self.cat.read("urls", URLS)

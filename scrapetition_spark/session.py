@@ -60,6 +60,20 @@ def get_spark(
         # at row-group boundaries).
         .config("spark.hadoop.parquet.block.size", str(16 * 1024 * 1024))
     )
+    # Device-isolation probe knob (BENCH/BASELINE.md): point shuffle /
+    # block-manager spill at a different device (e.g. /dev/shm) to
+    # separate "plan doesn't scale" from "one shared disk saturates".
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    # JVM-flag probe knob (e.g. "-Xms32g -XX:+AlwaysPreTouch" to pin
+    # the heap: under a syscall-intercepting sandbox, G1's on-demand
+    # region commit/uncommit serializes 32 allocation-heavy threads
+    # on memory-management syscalls — a single-JVM artifact a real
+    # per-executor deployment never sees).
+    java_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
