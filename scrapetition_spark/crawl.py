@@ -475,11 +475,14 @@ class CrawlEngine:
         )
         if disc is not None:
             td0 = time.time()
-            disc = disc.join(
-                hint(due_seq, n_due), disc["source"] == due_seq["url"], "inner"
-            ).select(
+            # hit carries fetch_seq, so discover_urls passes the lineage
+            # through as source_fetch_seq — no join back to the due set
+            # (disc sources ⊆ hit ⊆ due by construction; the old inner
+            # join was an identity lookup and one more due-set-derived
+            # broadcast/shuffle in the epoch loop)
+            disc = disc.select(
                 "source",
-                F.col("fetch_seq").alias("source_fetch_seq"),
+                "source_fetch_seq",
                 "dispatcher_idx",
                 "pos",
                 "target",

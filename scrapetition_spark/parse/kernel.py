@@ -467,18 +467,22 @@ def discover_urls(
     ``nub`` order stays exact.
 
     ``dispatchers``: (dispatcher_idx, url_scheme_regex, collector
-    roles).  Returns (source, dispatcher_idx, pos, target) or None if
-    no dispatcher collects URLs.
+    roles).  Returns (source, dispatcher_idx, pos, target) — plus
+    ``source_fetch_seq`` passed through when the input pages carry a
+    ``fetch_seq`` column, so callers never need a lineage join back to
+    the due set to recover it — or None if no dispatcher collects URLs.
     """
     from scrapetition_spark.functions.urls import url_resolve_native
 
     parts_fast: list[DataFrame] = []
     parts_slow: list[DataFrame] = []
-    base = pages.select("url", "spans")
+    has_seq = "fetch_seq" in pages.columns
+    cols = ["url", "fetch_seq", "spans"] if has_seq else ["url", "spans"]
+    base = pages.select(*cols)
     if "status" in pages.columns:
         base = pages.filter(
             F.col("status").isNull() | (F.col("status") < 400)
-        ).select("url", "spans")
+        ).select(*cols)
 
     for idx, scheme, collectors in dispatchers:
         roles = [r for r in collectors if r in COLLECTOR_ROLES]
@@ -520,7 +524,7 @@ def discover_urls(
         to_cand = make_to_cand(rank_of)
 
         pg = base.filter(F.col("url").rlike(scheme)).select(
-            "url",
+            *(["url", "fetch_seq"] if has_seq else ["url"]),
             F.array_sort(
                 F.transform(F.filter("spans", keep), to_cand)
             ).alias("__cand"),
@@ -542,11 +546,18 @@ def discover_urls(
         # per-page array churn made this the epoch's only stage that
         # stayed flat from 8→32 cores — allocation-bandwidth-bound,
         # ~2× slower than this form on the 1.2M-page scaling epoch.)
+        seq_out = (
+            [F.col("fetch_seq").alias("source_fetch_seq")] if has_seq else []
+        )
         fast = (
             pg.filter(~F.col("__needs_py"))
-            .select("url", F.posexplode(F.array_distinct("__tgt")))
+            .select(
+                *(["url", "fetch_seq"] if has_seq else ["url"]),
+                F.posexplode(F.array_distinct("__tgt")),
+            )
             .select(
                 F.col("url").alias("source"),
+                *seq_out,
                 F.lit(idx).alias("dispatcher_idx"),
                 F.col("pos").cast("int").alias("pos"),
                 F.col("col").alias("target"),
@@ -556,9 +567,12 @@ def discover_urls(
 
         slow = (
             pg.filter(F.col("__needs_py"))
-            .select("url", F.explode("__cand").alias("c"))
             .select(
-                "url",
+                *(["url", "fetch_seq"] if has_seq else ["url"]),
+                F.explode("__cand").alias("c"),
+            )
+            .select(
+                *(["url", "fetch_seq"] if has_seq else ["url"]),
                 F.col("c.rank").alias("rank"),
                 F.col("c.offset").alias("offset"),
                 url_join(F.col("url"), F.col("c.target")).alias("abs_target"),
@@ -572,6 +586,7 @@ def discover_urls(
             .withColumn("pos", (F.row_number().over(w_pos) - 1).cast("int"))
             .select(
                 F.col("url").alias("source"),
+                *seq_out,
                 F.lit(idx).alias("dispatcher_idx"),
                 "pos",
                 F.col("abs_target").alias("target"),
