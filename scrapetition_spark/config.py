@@ -124,6 +124,14 @@ class CrawlConfig:
     # epoch is bucket-pruned. None = env SPARK_GRAFT_BUCKET_MIN_BYTES
     # or 256 MiB.
     item_bucket_min_bytes: int | None = None
+    # urls_seen smaller than this stays in plain appended files; on
+    # crossing it converts (one rewrite) to host-bucket dirs, after
+    # which each epoch (a) appends only per-bucket files and (b) reads
+    # only the buckets the active frontier touches for the exact seen
+    # anti-join — the last O(table)-per-epoch scan in the crawl loop
+    # becomes O(active buckets). None = env SPARK_GRAFT_BUCKET_MIN_BYTES
+    # or 256 MiB (same default as the item sinks).
+    seen_bucket_min_bytes: int | None = None
     # Epoch frames derived from the due set (due, fetched, followed)
     # get an explicit F.broadcast hint only while their known row
     # count is at or below this; above it the join is left to the

@@ -158,13 +158,52 @@ class CrawlEngine:
                             F.col("host"), self.cfg.n_host_buckets
                         ).alias("host_bucket"),
                     )
-                    self.cat.overwrite("bloom_sidecar", self.pbloom.build(seen_b))
+                    # partitioned write so the per-epoch scoped commit
+                    # never has to pay a consolidating rewrite after a
+                    # rebuild
+                    self.cat.overwrite_partitions(
+                        "bloom_sidecar", self.pbloom.build(seen_b), "bucket", None
+                    )
                     sidecar = self.cat.read("bloom_sidecar", BLOOM_SIDECAR)
                 self._sidecar_validated = True
             return PartitionedBloomView(self.pbloom, sidecar)
         return None
 
     # ------------------------------------------------------------------ util
+
+    def _seen_bucket_expr(self) -> F.Column:
+        """urls_seen commit bucket: the row's host bucket — equal urls
+        have equal hosts, so a candidate URL can only match seen rows
+        in its own bucket (what makes the pruned read exact)."""
+        return host_bucket(F.col("host"), self.cfg.n_host_buckets)
+
+    def _seen_bucket_spec(self) -> dict:
+        return {"n_host_buckets": self.cfg.n_host_buckets}
+
+    def _read_seen_pruned(self, urls: DataFrame) -> DataFrame:
+        """The epoch's seen frame for the due-set anti-join. Once
+        urls_seen has converted to the bucketed layout (append_bucketed
+        past the size threshold), read ONLY the buckets the active
+        frontier touches: the anti-join matches on url equality, equal
+        urls share a host bucket, so seen rows in never-due buckets
+        cannot match any candidate. The distinct-bucket scan is one
+        column-pruned agg over the frontier (bounded result:
+        ≤ n_host_buckets rows); at 10^10 seen URLs this turns the last
+        O(table)-per-epoch read into O(active buckets) — a
+        domain-restricted crawl (the reference default, gate C7) reads
+        exactly one bucket."""
+        if not self.cat.prunable_buckets("urls_seen", self._seen_bucket_spec()):
+            return self.cat.read("urls_seen", URLS_SEEN)
+        cfg = self.cfg
+        active = urls.filter(
+            (F.col("in_frontier") == 1)
+            & (F.lit(cfg.visit_again) | F.col("first_seen").isNull())
+        )
+        buckets = sorted(
+            r["host_bucket"]
+            for r in active.select("host_bucket").distinct().collect()
+        )
+        return self.cat.read_buckets("urls_seen", URLS_SEEN, buckets)
 
     def _url_row(self, df: DataFrame, scheduled: bool) -> DataFrame:
         """Project a (target/lineage) frame onto the urls schema."""
@@ -260,7 +299,7 @@ class CrawlEngine:
 
         cfg = self.cfg
         urls = self.cat.read("urls", URLS)
-        seen = self.cat.read("urls_seen", URLS_SEEN)
+        seen = self._read_seen_pruned(urls)
         if cfg.visit_again:
             # -a (Main.hs:89-91, seen=[] at :246): drop persisted seen
             # rows from before this run; bloom positives for them fall
@@ -547,21 +586,57 @@ class CrawlEngine:
                 self.bloom = self.bloom.build_from(due.select("url"))
             elif self.pbloom is not None:
                 # epoch delta folded map-side, OR-merged bucket-local;
-                # the driver never materializes any bitset
+                # the driver never materializes any bitset. The commit
+                # is PARTITION-SCOPED (≙ Iceberg dynamic partition
+                # overwrite): only buckets with due URLs this epoch are
+                # OR-merged and rewritten; every other bucket's bitset
+                # file is carried forward verbatim — per-epoch sidecar
+                # cost is O(touched buckets), never O(sidecar). At
+                # 10^10 keys the sidecar is ~20 GB; a whole-table
+                # read+rewrite per epoch (the r03 shape) would dwarf
+                # sparse epochs on its own.
                 delta = self.pbloom.build(due.select("url", "host_bucket"))
-                if self.cat.exists("bloom_sidecar"):
-                    delta = self.cat.read("bloom_sidecar", BLOOM_SIDECAR).unionByName(
-                        delta
+                # due is checkpointed; distinct bucket ids are bounded
+                # metadata (≤ n_host_buckets rows on the driver)
+                touched = sorted(
+                    r["host_bucket"]
+                    for r in due.select("host_bucket").distinct().collect()
+                )
+                has_plain, parts = self.cat.partition_state("bloom_sidecar")
+                if self.cat.exists("bloom_sidecar") and (has_plain or parts):
+                    if has_plain:
+                        # legacy plain layout (pre-scoped writer, or a
+                        # rebuild): one consolidating partitioned
+                        # rewrite, then every epoch is scoped
+                        merged = self.pbloom.or_merge(
+                            self.cat.read("bloom_sidecar", BLOOM_SIDECAR)
+                            .unionByName(delta)
+                        )
+                        self.cat.overwrite_partitions(
+                            "bloom_sidecar", merged, "bucket", None
+                        )
+                    else:
+                        old = self.cat.read_buckets(
+                            "bloom_sidecar", BLOOM_SIDECAR, touched
+                        )
+                        merged = self.pbloom.or_merge(old.unionByName(delta))
+                        self.cat.overwrite_partitions(
+                            "bloom_sidecar", merged, "bucket", touched
+                        )
+                else:
+                    self.cat.overwrite_partitions(
+                        "bloom_sidecar", delta, "bucket", None
                     )
-                    delta = self.pbloom.or_merge(delta)
-                self.cat.overwrite("bloom_sidecar", delta)
 
         def _seen_and_bucket_metrics():
             # one worker: seen append first, then the per-partition
             # lineage/metrics rows (north rule) keyed to the snapshot
             # the append just created — sequenced inside the task so
             # the pool's other jobs can't race the snapshot id.
-            self.cat.append("urls_seen", seen_batch)
+            self.cat.append_bucketed(
+                "urls_seen", seen_batch, self._seen_bucket_expr(),
+                self._seen_bucket_spec(), cfg.seen_bucket_min_bytes,
+            )
             snap = self.cat.head("urls_seen")
             due_b = due.groupBy("host_bucket").agg(F.count("*").alias("urls_due"))
             if disc is not None and n_discovered > 0:
@@ -858,7 +933,9 @@ class CrawlEngine:
                         "host_bucket"
                     ),
                 )
-                self.cat.overwrite("bloom_sidecar", self.pbloom.build(seen_b))
+                self.cat.overwrite_partitions(
+                    "bloom_sidecar", self.pbloom.build(seen_b), "bucket", None
+                )
         while True:
             t0 = time.time()
             st = self.run_epoch(epoch)

@@ -562,6 +562,74 @@ class Catalog:
         sid = self.append_partitions(table, fresh, bucket_expr)
         return self.compact_buckets(table) or sid
 
+    def append_bucketed(
+        self,
+        table: str,
+        df: DataFrame,
+        bucket_expr: F.Column,
+        bucket_spec: dict,
+        bucket_min_bytes: int | None = None,
+    ) -> int:
+        """Adaptive bucketed APPEND (no dedup — the append-only twin of
+        ``merge_insert``'s layout policy, same thresholds): plain
+        appends while the table is small (no partitioned-shuffle write,
+        no bucket bookkeeping — bucketing-from-birth measurably hurts,
+        see merge_insert); ONE consolidating partitioned rewrite on
+        crossing the byte/dir threshold; per-bucket appends plus
+        hot-bucket compaction after. Readers that know their touched
+        buckets can then ``read_buckets`` instead of scanning the whole
+        table — at 10^10 seen URLs the per-epoch seen scan is the last
+        O(table) read in the crawl loop, and bucket pruning makes it
+        O(frontier-active buckets).
+
+        ``bucket_spec`` is persisted as a table property: a layout is
+        only prunable under the bucket parameters it was written with,
+        so a spec change forces one consolidating rewrite (same
+        contract as merge_insert / the urls commit spec)."""
+        if bucket_min_bytes is None:
+            bucket_min_bytes = self.bucket_min_bytes_default
+        has_plain, parts = self.partition_state(table)
+        already_bucketed = self.exists(table) and bool(parts) and not has_plain
+        stored = self.get_meta(table).get("bucket_spec")
+        spec_mismatch = self.exists(table) and stored != bucket_spec
+        n_plain_dirs = (
+            len(self._snapshot(table, self.head(table)).files)
+            if self.exists(table)
+            else 0
+        )
+        if (
+            not already_bucketed
+            and not spec_mismatch
+            and self.table_bytes(table) < bucket_min_bytes
+            and n_plain_dirs <= self.max_plain_dirs
+        ):
+            return self.append(table, df)
+        if stored != bucket_spec:
+            self.set_meta(table, {**self.get_meta(table), "bucket_spec": bucket_spec})
+        if has_plain or spec_mismatch or not already_bucketed:
+            # consolidate existing rows + the new batch in one
+            # partitioned write (bucket_expr recomputes every row's
+            # bucket under the live spec)
+            merged = (
+                self.read(table, df.schema).unionByName(df)
+                if self.exists(table)
+                else df
+            )
+            return self.overwrite_partitions(table, merged, bucket_expr, None)
+        sid = self.append_partitions(table, df, bucket_expr)
+        return self.compact_buckets(table) or sid
+
+    def prunable_buckets(self, table: str, bucket_spec: dict) -> bool:
+        """True iff ``read_buckets`` pruning is sound for this table:
+        fully bucketed layout (no plain files whose rows belong to
+        unknown buckets) written under exactly ``bucket_spec``."""
+        has_plain, parts = self.partition_state(table)
+        return (
+            bool(parts)
+            and not has_plain
+            and self.get_meta(table).get("bucket_spec") == bucket_spec
+        )
+
     def expire_snapshots(self, table: str, keep_last: int = 2) -> int:
         """Delete snapshot manifests older than the newest
         ``keep_last`` and every data dir no retained snapshot

@@ -140,12 +140,18 @@ def test_crawl_partitioned_bloom_resume(spark):
                        expected_urls=1 << 12)
     eng2.seed([seed])
     eng2.run(max_epochs=2)  # interrupted
+    # drop the sidecar: resume must REBUILD it from urls_seen (the
+    # run()-prefill path) — written partition-scoped so later epochs
+    # commit scoped without a consolidating rewrite
+    cat2.drop("bloom_sidecar")
     eng3 = CrawlEngine(spark, cat2, cfg, docs, bloom_mode="partitioned",
                        expected_urls=1 << 12)
     eng3.run()  # fresh engine, same catalog
     got = {(r["url"], r["fetch_seq"]) for r in
            cat2.read("urls_seen", URLS_SEEN).collect()}
     assert got == want
+    has_plain, parts = cat2.partition_state("bloom_sidecar")
+    assert parts and not has_plain
 
 
 def test_crawl_partitioned_bloom_resume_changed_params(spark):

@@ -323,3 +323,189 @@ def test_crawl_with_expiry_resumes_exactly(spark):
         snaps = [f for f in os.listdir(os.path.join(cat.root, t))
                  if f.startswith("snap-")]
         assert len(snaps) <= 2
+
+
+# --------------------------------------------------------------------------
+# partition-scoped bloom-sidecar commits (round-4 follow-up: per-epoch
+# sidecar cost must be O(touched buckets), never O(sidecar) — at 10^10
+# keys the sidecar is ~20 GB and a whole-table rewrite per epoch would
+# dwarf sparse epochs)
+
+
+def test_bloom_sidecar_scoped_commit_carries_untouched_buckets(spark):
+    """A crawl epoch whose due set touches a strict subset of host
+    buckets rewrites ONLY those buckets' sidecar bitsets; every other
+    bucket's member dirs carry forward verbatim, and the incremental
+    sidecar equals a one-shot rebuild from urls_seen bit-for-bit."""
+    from scrapetition_spark.config import ALL_LINKS_DISPATCHERS
+    from scrapetition_spark.functions.urls import host_bucket
+    from scrapetition_spark.plans.seen import BLOOM_SIDECAR
+    from scrapetition_spark.spans import ROLE_ANCHOR, media_span
+
+    # two hosts in different buckets; b.test is due only in epoch 1
+    site = {
+        "http://a.test/p0": [
+            media_span(ROLE_ANCHOR, "l", "http://a.test/p1", 0),
+            media_span(ROLE_ANCHOR, "l", "http://b.test/only", 1),
+        ],
+        "http://b.test/only": [],
+        "http://a.test/p1": [media_span(ROLE_ANCHOR, "l", "http://a.test/p2", 0)],
+        "http://a.test/p2": [],
+    }
+    docs = documents_df(spark, site)
+    cfg = CrawlConfig(
+        "a.test", follow_links=True, cross_domain=True, politeness_sec=0,
+        per_host_budget=4, dispatchers=ALL_LINKS_DISPATCHERS,
+    )
+    row = (
+        spark.range(1)
+        .select(
+            host_bucket(F.lit("a.test"), cfg.n_host_buckets).alias("a"),
+            host_bucket(F.lit("b.test"), cfg.n_host_buckets).alias("b"),
+        )
+        .first()
+    )
+    bucket_a, bucket_b = row["a"], row["b"]
+    assert bucket_a != bucket_b  # deterministic xxhash64 precondition
+
+    eng, cat = _engine(spark, docs, cfg, bloom_mode="partitioned",
+                       expected_urls=4096)
+    eng.seed(["http://a.test/p0"])
+    stats = eng.run()
+    assert [s.urls_due for s in stats] == [1, 2, 1]
+
+    # the crawl itself stayed exact under the scoped sidecar
+    seen = {r["url"] for r in cat.read("urls_seen", URLS_SEEN).collect()}
+    assert seen == set(site)
+
+    # snapshot 1 = epoch 1 (touched {a,b}), snapshot 2 = epoch 2
+    # (touched {a} only): b.test's bucket entry must be THE SAME dirs
+    head = cat.head("bloom_sidecar")
+    assert head == 2
+    parts_1 = cat._snapshot("bloom_sidecar", 1).parts
+    parts_2 = cat._snapshot("bloom_sidecar", 2).parts
+    assert set(parts_2) == {str(bucket_a), str(bucket_b)}
+    assert parts_2[str(bucket_b)] == parts_1[str(bucket_b)]  # carried
+    assert parts_2[str(bucket_a)] != parts_1[str(bucket_a)]  # rewritten
+
+    # incremental OR-merge ≡ one-shot rebuild from the exact seen set
+    seen_b = cat.read("urls_seen", URLS_SEEN).select(
+        "url", host_bucket(F.col("host"), cfg.n_host_buckets).alias("host_bucket")
+    )
+    want = {
+        r["bucket"]: (bytes(r["bits"]), r["n_keys"])
+        for r in eng.pbloom.build(seen_b).collect()
+    }
+    got = {
+        r["bucket"]: (bytes(r["bits"]), r["n_keys"])
+        for r in cat.read("bloom_sidecar", BLOOM_SIDECAR).collect()
+    }
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# adaptive bucketed urls_seen (round-4 follow-up: the per-epoch seen
+# scan was the last O(table) read in the crawl loop; once the table
+# crosses the size threshold it lives in host buckets and each epoch
+# reads only the buckets the active frontier touches)
+
+
+def test_append_bucketed_adaptive_layout(spark):
+    from scrapetition_spark.schemas import URLS_SEEN  # noqa: F401
+
+    sch = "k int, host string, v string"
+    bucket = F.pmod(F.xxhash64("host"), F.lit(8)).cast("int")
+    spec = {"n": 8}
+
+    def frame(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").cast("int").alias("k"),
+            F.concat(F.lit("h"), (F.col("id") % 5).cast("string")).alias("host"),
+            F.col("id").cast("string").alias("v"),
+        )
+
+    # big threshold: stays plain
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="ab-plain-"))
+    cat.append_bucketed("t", frame(0, 10), bucket, spec, 1 << 30)
+    has_plain, parts = cat.partition_state("t")
+    assert has_plain and not parts
+
+    # threshold 0: bucketed from birth; later appends stay scoped
+    cat2 = Catalog(spark, tempfile.mkdtemp(prefix="ab-bucket-"))
+    cat2.append_bucketed("t", frame(0, 10), bucket, spec, 0)
+    cat2.append_bucketed("t", frame(10, 20), bucket, spec, 0)
+    has_plain, parts = cat2.partition_state("t")
+    assert parts and not has_plain
+    assert cat2.prunable_buckets("t", spec)
+    assert not cat2.prunable_buckets("t", {"n": 16})
+    got = {r["k"] for r in cat2.read("t").collect()}
+    assert got == set(range(20))
+
+    # crossing: plain first, then one consolidating rewrite
+    cat3 = Catalog(spark, tempfile.mkdtemp(prefix="ab-cross-"))
+    cat3.append_bucketed("t", frame(0, 10), bucket, spec, 1 << 30)
+    assert not cat3.prunable_buckets("t", spec)
+    cat3.append_bucketed("t", frame(10, 20), bucket, spec, 0)  # crosses
+    assert cat3.prunable_buckets("t", spec)
+    got = {r["k"] for r in cat3.read("t").collect()}
+    assert got == set(range(20))
+
+    # spec change: consolidates under the new spec, stays correct
+    cat3.append_bucketed("t", frame(20, 30), bucket, {"n": 16}, 0)
+    assert cat3.prunable_buckets("t", {"n": 16})
+    got = {r["k"] for r in cat3.read("t").collect()}
+    assert got == set(range(30))
+
+
+def test_crawl_bucketed_seen_bit_exact_and_resume(spark):
+    """seen_bucket_min_bytes=0 forces the bucketed urls_seen layout
+    (and so the pruned per-epoch seen read) from the first epoch: the
+    crawl trace must stay bit-exact vs the simulator, and a fresh
+    engine resuming mid-crawl must fetch no duplicates."""
+    site = fixture_site()
+    docs = documents_df(spark, site)
+    cfg = CrawlConfig("www.zeit.de", follow_links=True, sequential=True,
+                      politeness_sec=0, seen_bucket_min_bytes=0)
+    sim = simulate(site, [SEED], cfg)
+
+    eng, cat = _engine(spark, docs, cfg, use_bloom=True, expected_urls=4096)
+    eng.seed([SEED])
+    eng.run(max_epochs=3)
+    # mid-crawl: layout already bucketed, pruning engaged
+    assert cat.prunable_buckets("urls_seen", {"n_host_buckets": 256})
+    eng2 = CrawlEngine(spark, cat, cfg, docs, use_bloom=True,
+                       expected_urls=4096)
+    eng2.run()
+    trace = [r["url"] for r in cat.read("urls_seen", URLS_SEEN)
+             .orderBy("fetch_seq").collect()]
+    assert trace == sim.trace
+
+
+def test_crawl_bucketed_seen_resume_changed_host_buckets(spark):
+    """Resuming a bucketed-seen catalog with a DIFFERENT
+    n_host_buckets must not prune against stale bucket ids (silent
+    duplicate fetches): pruning disengages on the spec mismatch, the
+    next append consolidates under the new spec, and the final seen
+    set equals an uninterrupted run's."""
+    site = fixture_site()
+    docs = documents_df(spark, site)
+    base = dict(follow_links=True, politeness_sec=0, per_host_budget=4,
+                seen_bucket_min_bytes=0)
+    cfg1 = CrawlConfig("www.zeit.de", n_host_buckets=256, **base)
+    cfg2 = CrawlConfig("www.zeit.de", n_host_buckets=64, **base)
+
+    eng, cat = _engine(spark, docs, cfg1, use_bloom=False)
+    eng.seed([SEED])
+    eng.run(max_epochs=2)
+    assert cat.prunable_buckets("urls_seen", {"n_host_buckets": 256})
+    eng2 = CrawlEngine(spark, cat, cfg2, docs, use_bloom=False)
+    eng2.run()
+    assert cat.prunable_buckets("urls_seen", {"n_host_buckets": 64})
+
+    ref_eng, ref_cat = _engine(spark, docs, cfg1, use_bloom=False)
+    ref_eng.seed([SEED])
+    ref_eng.run()
+    got = [r["url"] for r in cat.read("urls_seen", URLS_SEEN).collect()]
+    want = {r["url"] for r in ref_cat.read("urls_seen", URLS_SEEN).collect()}
+    assert len(got) == len(set(got)), "duplicate fetches after resume"
+    assert set(got) == want
