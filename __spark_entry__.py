@@ -475,6 +475,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         eng.run()
         return cat.read("urls_seen", URLS_SEEN).select("url", "status")
 
+    def crawl_epoch_scoped(spark, sf):
+        """Wide-epoch crawl with every 10^10-scale storage path FORCED
+        from birth: partitioned bloom sidecar (scoped per-epoch
+        commits), bucketed urls_seen + pruned seen reads
+        (seen_bucket_min_bytes=0). The final seen SET must equal the
+        default-path crawl's — the driver-verified witness that the
+        scale layouts change plans, never results."""
+        import tempfile
+
+        from scrapetition_spark.config import CrawlConfig
+        from scrapetition_spark.crawl import CrawlEngine
+        from scrapetition_spark.schemas import URLS_SEEN
+        from scrapetition_spark.sources.catalog import Catalog
+        from scrapetition_spark.sources.fixtures import documents_df, fixture_site
+
+        docs = documents_df(spark, fixture_site())
+        cfg = CrawlConfig(FIXTURE_START_DOMAIN, follow_links=True,
+                          sequential=False, per_host_budget=4,
+                          politeness_sec=0, seen_bucket_min_bytes=0)
+        cat = Catalog(spark, tempfile.mkdtemp(prefix="entryscoped-"))
+        eng = CrawlEngine(spark, cat, cfg, docs, expected_urls=4096,
+                          bloom_mode="partitioned")
+        eng.seed([FIXTURE_SEED])
+        eng.run()
+        return cat.read("urls_seen", URLS_SEEN).select("url", "status")
+
     def parse_golden(spark, sf):
         """Golden-page parse kernel output (rows-only; goldens are
         asserted in tests/test_parse_golden.py)."""
@@ -535,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_language_guess": t4,
         "crawl_epoch": crawl_epoch,
         "crawl_epoch_wide": crawl_epoch_wide,
+        "crawl_epoch_scoped": crawl_epoch_scoped,
         "parse_golden": parse_golden,
     }
 
@@ -1348,5 +1375,7 @@ def oracle_sql() -> dict[str, str]:
     # (VERDICT r03 missing#1 — no more `no_oracle` keys)
     sqls["crawl_epoch"] = _crawl_epoch_oracle()
     sqls["crawl_epoch_wide"] = _crawl_epoch_wide_oracle()
+    # scale-path crawl: same final seen set as the default wide path
+    sqls["crawl_epoch_scoped"] = _crawl_epoch_wide_oracle()
     sqls["parse_golden"] = _parse_golden_oracle()
     return sqls

@@ -59,6 +59,14 @@ def get_spark(
         # scans still fan out across all cores (Spark splits parquet
         # at row-group boundaries).
         .config("spark.hadoop.parquet.block.size", str(16 * 1024 * 1024))
+        # Sink writes are device-bound at high local parallelism
+        # (BENCH addendum 2: tmpfs cuts sinks 2.6x); a denser codec
+        # trades spare CPU for bytes through the shared device.
+        # Default snappy; probe knob for the codec A/B.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
+        )
     )
     # Device-isolation probe knob (BENCH/BASELINE.md): point shuffle /
     # block-manager spill at a different device (e.g. /dev/shm) to
