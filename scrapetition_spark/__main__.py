@@ -64,6 +64,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="table name for voting by users about items")
     args = p.parse_args(argv)
 
+    # fail fast on sink-name collisions: two sinks sharing one physical
+    # table would interleave incompatible schemas into it, and an
+    # override shadowing an engine-reserved table would corrupt crawl
+    # state (the reference rejects nothing here — SQLite would simply
+    # break later; we surface it at parse time).
+    sink_names = [args.items_table, args.users_table, args.voting_table]
+    reserved = {"urls", "urls_seen", "url_edges", "bloom_sidecar"}
+    if len(set(sink_names)) != len(sink_names):
+        p.error(f"sink table names must be distinct, got {sink_names}")
+    clash = sorted(set(sink_names) & reserved)
+    if clash:
+        p.error(f"table name(s) {clash} are reserved for crawl state")
+
     from scrapetition_spark.config import (
         ALL_LINKS_DISPATCHERS,
         ZEIT_DE_DISPATCHERS,

@@ -278,6 +278,15 @@ class CrawlEngine:
         )
         self.cat.overwrite("urls", rescheduled)
 
+    def _hint(self, df: DataFrame, n_rows: int) -> DataFrame:
+        """Size-gated broadcast hint (VERDICT r03 #1): hint only while
+        the governing KNOWN row count is at or below
+        ``cfg.broadcast_max_rows``; above it the join goes through the
+        shuffle planner (AQE still broadcasts when cheap). One
+        definition so the epoch joins and the urls-rewrite joins can
+        never diverge in broadcast policy."""
+        return F.broadcast(df) if n_rows <= self.cfg.broadcast_max_rows else df
+
     # ------------------------------------------------------------------ epoch
 
     def run_epoch(self, epoch: int) -> EpochStats:
@@ -339,8 +348,7 @@ class CrawlEngine:
         # URLs with no document behave like HTTP failures: status 404,
         # no body, but still marked seen (App.hs:51-52 fetches and
         # updates the seen date regardless of status).
-        def hint(df: DataFrame, n_rows: int) -> DataFrame:
-            return F.broadcast(df) if n_rows <= cfg.broadcast_max_rows else df
+        hint = self._hint
 
         docs = self.documents
         hit = (
@@ -731,8 +739,7 @@ class CrawlEngine:
         # to shuffle on the 2.1M-URL scaling epoch and cost ~23 s of
         # sink time at local[8]). followed is lazily checkpointed, so
         # this count materializes it once, inside this pool task.
-        def hint(df: DataFrame, n_rows: int) -> DataFrame:
-            return F.broadcast(df) if n_rows <= cfg.broadcast_max_rows else df
+        hint = self._hint
 
         n_followed = followed.count() if followed is not None else 0
 
@@ -943,8 +950,14 @@ class CrawlEngine:
                 break
             stats.append(st)
             if self.cfg.expire_keep_snapshots is not None:
-                for t in self.cat.tables():
-                    self.cat.expire_snapshots(t, self.cfg.expire_keep_snapshots)
+                # tables() yields PHYSICAL names; route expiry through
+                # the inner catalog, not the renaming view — a physical
+                # name that collides with a logical key (e.g.
+                # --items-table users) would be re-mapped and the wrong
+                # table expired.
+                phys = getattr(self.cat, "_inner", self.cat)
+                for t in phys.tables():
+                    phys.expire_snapshots(t, self.cfg.expire_keep_snapshots)
             if sleep and self.cfg.politeness_sec > 0:
                 remaining = self.cfg.politeness_sec - (time.time() - t0)
                 if remaining > 0:

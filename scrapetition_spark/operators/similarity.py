@@ -135,7 +135,10 @@ def ivf_anchors(embeddings: DataFrame, n_cells: int) -> DataFrame:
 
 
 def ivf_assign(
-    embeddings: DataFrame, n_cells: int = 16, round_to: int = 6
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    round_to: int = 6,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: deterministic hash-sampled anchors
     (``ivf_anchors``), every vector assigned to its max-cosine cell
@@ -147,8 +150,11 @@ def ivf_assign(
     across engines — the DuckDB oracle mirrors it exactly. The argmax
     is a ``min_by`` hash aggregate (map-side partial agg), not a
     row_number window, which would sort-shuffle on the
-    high-cardinality vec_id (VERDICT r03 #6)."""
-    cents = ivf_anchors(embeddings, n_cells)
+    high-cardinality vec_id (VERDICT r03 #6). Callers that already
+    hold the anchor frame pass it as ``cents`` so the corpus-wide
+    anchor TakeOrdered runs once, not once per call site."""
+    if cents is None:
+        cents = ivf_anchors(embeddings, n_cells)
     sims = embeddings.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
@@ -178,8 +184,8 @@ def ann_ivf_topk(
     never the full corpus."""
     from pyspark.sql import Window
 
-    assigned = ivf_assign(embeddings, n_cells)
     cents = ivf_anchors(embeddings, n_cells)
+    assigned = ivf_assign(embeddings, n_cells, cents=cents)
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )

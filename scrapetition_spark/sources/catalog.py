@@ -282,17 +282,19 @@ class Catalog:
                                 carry_sizes=prev.sizes)
         return self._commit(table, [])
 
-    def table_bytes(self, table: str) -> int:
+    def table_bytes(self, table: str, snap: "Snapshot | None" = None) -> int:
         """On-disk bytes of the member files at HEAD, summed from the
         per-dir byte totals the manifest records at write time (≙
         Iceberg's total-files-size snapshot summary) — no os.walk of
         the data dir per call (ADVICE r03: the walk grew with file
         accumulation and every sub-threshold MERGE paid it). Dirs
         from manifests predating the summary fall back to one stat
-        walk."""
-        if not self.exists(table):
-            return 0
-        snap = self._snapshot(table, self.head(table))
+        walk. Callers that already hold the HEAD ``Snapshot`` pass it
+        in to skip a redundant manifest parse."""
+        if snap is None:
+            if not self.exists(table):
+                return 0
+            snap = self._snapshot(table, self.head(table))
         return sum(
             snap.sizes[d] if d in snap.sizes else _dir_bytes(d)
             for d in self._paths(snap)
@@ -510,15 +512,18 @@ class Catalog:
             return plain_merge()
 
         # ---- bucketed MERGE -------------------------------------------------
-        has_plain, parts = self.partition_state(table)
+        snap = (
+            self._snapshot(table, self.head(table)) if self.exists(table) else None
+        )
+        has_plain = bool(snap.files) if snap else False
+        parts = snap.parts if snap else {}
         if bucket_min_bytes is None:
             bucket_min_bytes = self.bucket_min_bytes_default
-        already_bucketed = self.exists(table) and bool(parts) and not has_plain
-        n_plain_dirs = len(self._snapshot(table, self.head(table)).files) \
-            if self.exists(table) else 0
+        already_bucketed = snap is not None and bool(parts) and not has_plain
+        n_plain_dirs = len(snap.files) if snap else 0
         if (
             not already_bucketed
-            and self.table_bytes(table) < bucket_min_bytes
+            and self.table_bytes(table, snap) < bucket_min_bytes
             and n_plain_dirs <= self.max_plain_dirs
         ):
             # small-table regime: whole-table anti-join is cheaper
@@ -588,19 +593,27 @@ class Catalog:
         contract as merge_insert / the urls commit spec)."""
         if bucket_min_bytes is None:
             bucket_min_bytes = self.bucket_min_bytes_default
-        has_plain, parts = self.partition_state(table)
-        already_bucketed = self.exists(table) and bool(parts) and not has_plain
-        stored = self.get_meta(table).get("bucket_spec")
-        spec_mismatch = self.exists(table) and stored != bucket_spec
-        n_plain_dirs = (
-            len(self._snapshot(table, self.head(table)).files)
-            if self.exists(table)
-            else 0
+        snap = (
+            self._snapshot(table, self.head(table)) if self.exists(table) else None
         )
+        has_plain = bool(snap.files) if snap else False
+        parts = snap.parts if snap else {}
+        already_bucketed = snap is not None and bool(parts) and not has_plain
+        stored = self.get_meta(table).get("bucket_spec")
+        # a table still in the plain regime has no stored spec (by the
+        # same design as merge_insert: nothing is recorded until the
+        # conversion, so it consolidates everything) — None means "not
+        # yet bucketed", NOT a mismatch. Treating it as one forced the
+        # bucketed conversion on the SECOND sub-threshold append,
+        # defeating the adaptive small-table policy.
+        spec_mismatch = (
+            snap is not None and stored is not None and stored != bucket_spec
+        )
+        n_plain_dirs = len(snap.files) if snap else 0
         if (
             not already_bucketed
             and not spec_mismatch
-            and self.table_bytes(table) < bucket_min_bytes
+            and self.table_bytes(table, snap) < bucket_min_bytes
             and n_plain_dirs <= self.max_plain_dirs
         ):
             return self.append(table, df)

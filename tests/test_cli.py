@@ -157,3 +157,18 @@ def test_cli_visit_again(spark, capsys):
         by_lineage = sorted(us, key=lineage.get)
         assert by_fetch == by_lineage, f"host {host} re-run order != FIFO"
     assert urls.filter(F.col("last_seen") > F.col("first_seen")).count() > 0
+
+
+def test_cli_rejects_colliding_table_names():
+    """Two sinks sharing one physical table (or shadowing crawl-state
+    tables) must fail at argparse time, not corrupt the catalog
+    mid-crawl."""
+    import pytest
+
+    base = ["--catalog", "/tmp/x", "--documents", "/tmp/y", "-u", SEED]
+    # collides with the users sink's default physical name
+    with pytest.raises(SystemExit):
+        main(base + ["--items-table", "users"])
+    # shadows a reserved crawl-state table
+    with pytest.raises(SystemExit):
+        main(base + ["--voting-table", "urls_seen"])

@@ -325,6 +325,31 @@ def test_crawl_with_expiry_resumes_exactly(spark):
         assert len(snaps) <= 2
 
 
+def test_expiry_with_colliding_table_names(spark):
+    """--items-table users maps comments onto a PHYSICAL name that is
+    another sink's LOGICAL key. Per-epoch expiry must address physical
+    names on the inner catalog: routed back through the renaming view,
+    'users' would be re-mapped to 'accounts' (expired twice) and the
+    physical 'users' table never expired — O(epochs) manifest growth,
+    the exact leak expire_keep_snapshots exists to stop."""
+    site = fixture_site()
+    docs = documents_df(spark, site)
+    cfg = CrawlConfig("www.zeit.de", follow_links=True, sequential=True,
+                      politeness_sec=0, expire_keep_snapshots=1,
+                      table_names={"comments": "users", "users": "accounts"})
+    eng, cat = _engine(spark, docs, cfg, use_bloom=False)
+    eng.seed([SEED])
+    eng.run(max_epochs=4)
+    assert cat.exists("users") and cat.exists("accounts")
+    for t in cat.tables():
+        snaps = [f for f in os.listdir(os.path.join(cat.root, t))
+                 if f.startswith("snap-")]
+        assert len(snaps) <= 2, f"{t} not expired: {len(snaps)} manifests"
+    # each physical table still holds its own sink's rows
+    assert cat.read("users", COMMENTS).count() > 0
+    assert cat.read("accounts", USERS).count() > 0
+
+
 # --------------------------------------------------------------------------
 # partition-scoped bloom-sidecar commits (round-4 follow-up: per-epoch
 # sidecar cost must be O(touched buckets), never O(sidecar) — at 10^10
@@ -424,11 +449,15 @@ def test_append_bucketed_adaptive_layout(spark):
             F.col("id").cast("string").alias("v"),
         )
 
-    # big threshold: stays plain
+    # big threshold: stays plain — including on the SECOND append (a
+    # plain table stores no bucket_spec; None must read as "not yet
+    # bucketed", not as a spec mismatch forcing the conversion)
     cat = Catalog(spark, tempfile.mkdtemp(prefix="ab-plain-"))
     cat.append_bucketed("t", frame(0, 10), bucket, spec, 1 << 30)
+    cat.append_bucketed("t", frame(10, 20), bucket, spec, 1 << 30)
     has_plain, parts = cat.partition_state("t")
     assert has_plain and not parts
+    assert {r["k"] for r in cat.read("t").collect()} == set(range(20))
 
     # threshold 0: bucketed from birth; later appends stay scoped
     cat2 = Catalog(spark, tempfile.mkdtemp(prefix="ab-bucket-"))
