@@ -397,6 +397,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def t4(spark, sf):
         return T.language_guess(_t(spark, sf, "documents"))
 
+    def t5(spark, sf):
+        return T.repetition_scores(_t(spark, sf, "documents"))
+
+    def t6(spark, sf):
+        return T.pii_scrub(T.with_synthetic_pii(_t(spark, sf, "documents")))
+
+    def t7(spark, sf):
+        return T.stratified_sample(_t(spark, sf, "documents"))
+
+    def d6(spark, sf):
+        """Connected components over the MinHash-LSH candidate pairs:
+        (doc_id, cluster_id=min member) — the canonical-survivor map a
+        cluster-dedup pass applies. The Spark side is iterative
+        min-label propagation with pointer jumping (O(log diameter)
+        rounds); the oracle is a recursive reachability CTE."""
+        return D.neardup_clusters(
+            D.minhash_lsh_candidates(_t(spark, sf, "documents"), n_bands=4)
+        )
+
     def p1(spark, sf):
         """The composed training-data cleaning pipeline a 100 TB
         corpus runs end-to-end: exact-dedup survivors ∩ quality gate
@@ -546,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_simhash_near_dups": d4,
         "d5_embedding_neardup": d5,
         "d5b_lsh_recall": d5b,
+        "d6_neardup_clusters": d6,
         "s2b_ann_recall": s2b,
         "s3b_ann_recall": s3b,
         "m1_media_metadata": m1,
@@ -559,6 +579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t2_token_counts": t2,
         "t3_fingerprints": t3,
         "t4_language_guess": t4,
+        "t5_repetition_scores": t5,
+        "t6_pii_scrub": t6,
+        "t7_stratified_sample": t7,
         "crawl_epoch": crawl_epoch,
         "crawl_epoch_wide": crawl_epoch_wide,
         "crawl_epoch_scoped": crawl_epoch_scoped,
@@ -783,6 +806,81 @@ sh AS (
 ),
 sh2 AS (SELECT doc_id, lang, shingle FROM sh WHERE shingle IS NOT NULL)
 """
+
+
+def _pii_scrub_oracle() -> str:
+    """DuckDB twin of text.pii_scrub over text.with_synthetic_pii:
+    the regex patterns are imported from the operator module (single
+    source of truth — Java regex and RE2 agree on these constructs),
+    injection arithmetic mirrors with_synthetic_pii, and redaction
+    order (emails → IPs → phones) is identical so the md5 digest pins
+    every replaced byte. DuckDB's regexp_replace needs the explicit
+    'g' flag to match Spark's replace-all default."""
+    from scrapetition_spark.operators.text import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+    )
+
+    return f"""
+            WITH pii AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                  || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                                  || '.example.com'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 4 = 1
+                             THEN ' call 415-555-'
+                                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 2
+                             THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                                  || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                             ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INT)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS INT)
+                     AS n_phones,
+                   CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS INT)
+                     AS n_ips,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{PII_IP_RE}', '<IP>', 'g'),
+                       '{PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_digest
+            FROM pii
+    """
+
+
+def _stratified_sample_oracle() -> str:
+    """DuckDB twin of text.stratified_sample: the per-lang keep rates
+    come from the operator's own SAMPLE_RATES dict, and the 0-99
+    bucket is the identical md5-hex-prefix integer
+    (text.sample_bucket)."""
+    from scrapetition_spark.operators.text import SAMPLE_RATES
+
+    rate_case = " ".join(
+        f"WHEN '{lang}' THEN {r}" for lang, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+            WITH s AS (
+              SELECT lang,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       % 100 < CASE lang {rate_case} END AS keep,
+                     len(string_split(text, ' ')) AS n_tok
+              FROM documents)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept,
+                   CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+                     AS n_tokens_kept,
+                   round(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 100.0
+                         / count(*), 2) AS kept_pct
+            FROM s GROUP BY lang
+    """
 
 
 # deterministic comments-shaped derivation from documents — must stay
@@ -1169,6 +1267,29 @@ def oracle_sql() -> dict[str, str]:
                               / (SELECT count(*) FROM exact)
                          ELSE 100.0 END, 2) AS recall_pct
         """,
+        "d6_neardup_clusters": f"""
+            WITH RECURSIVE {_SHINGLES3.strip()},
+            buckets AS (
+              SELECT doc_id, b.band,
+                     min(md5(CAST(b.band AS VARCHAR) || '|' || shingle)) AS bucket
+              FROM sh2, (SELECT unnest(range(4)) AS band) b
+              GROUP BY doc_id, b.band),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM buckets a JOIN buckets b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM cands
+              UNION
+              SELECT doc_b, doc_a FROM cands),
+            reach(start, node) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.start, e.dst FROM reach r JOIN edges e ON r.node = e.src)
+            SELECT start AS doc_id, min(node) AS cluster_id
+            FROM reach GROUP BY start
+        """,
         "s2_ann_lsh": f"""
             WITH {_sketch_tables_cte(8, 8).strip()},
             cand AS (
@@ -1348,6 +1469,55 @@ def oracle_sql() -> dict[str, str]:
                        ['the','a','of','and','to','in','is'])) >= 2 AS looks_english
             FROM documents
         """,
+        "t5_repetition_scores": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents),
+            sh2g AS (
+              SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS shingle
+              FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            g2 AS (
+              SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_2grams,
+                     max(cnt) AS top_2gram_cnt,
+                     round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 4)
+                       AS top_2gram_frac
+              FROM (SELECT doc_id, shingle, count(*) AS cnt FROM sh2g
+                    WHERE shingle IS NOT NULL GROUP BY doc_id, shingle)
+              GROUP BY doc_id),
+            sh3g AS (
+              SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w
+                         || ' ' || lead(tok, 2) OVER w AS shingle
+              FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            g3 AS (
+              SELECT doc_id,
+                     round(1.0 - count(DISTINCT shingle)
+                           / CAST(count(*) AS DOUBLE), 4) AS dup_3gram_frac
+              FROM sh3g WHERE shingle IS NOT NULL GROUP BY doc_id),
+            chg AS (
+              SELECT doc_id, pos,
+                     CASE WHEN tok = lag(tok) OVER (PARTITION BY doc_id
+                                                    ORDER BY pos)
+                          THEN 0 ELSE 1 END AS chg
+              FROM toks),
+            rid AS (
+              SELECT doc_id,
+                     sum(chg) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+              FROM chg),
+            rmax AS (
+              SELECT doc_id, max(run_len) AS max_token_run
+              FROM (SELECT doc_id, run_id, count(*) AS run_len
+                    FROM rid GROUP BY doc_id, run_id)
+              GROUP BY doc_id)
+            SELECT d.doc_id, n_2grams, top_2gram_cnt, top_2gram_frac,
+                   dup_3gram_frac, max_token_run
+            FROM documents d
+            LEFT JOIN g2 ON d.doc_id = g2.doc_id
+            LEFT JOIN g3 ON d.doc_id = g3.doc_id
+            LEFT JOIN rmax ON d.doc_id = rmax.doc_id
+        """,
+        "t6_pii_scrub": _pii_scrub_oracle(),
+        "t7_stratified_sample": _stratified_sample_oracle(),
     }
     # corpus-level ANN recall@k (VERDICT r02 next-7): the exact side
     # reuses the s1 oracle verbatim, so the recall number's

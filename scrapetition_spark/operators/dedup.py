@@ -295,6 +295,72 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def neardup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs → ``(doc_id,
+    cluster_id)`` where ``cluster_id`` is the component's minimum
+    doc_id — the canonical survivor a cluster-dedup pass keeps (every
+    other member is the removal set). Input is any ``(doc_a, doc_b)``
+    pair frame (minhash_lsh_candidates, simhash_near_dups,
+    embedding_cosine_neardups); only docs appearing in ≥1 pair are
+    emitted (singletons are trivially their own cluster).
+
+    Shape: iterative min-label propagation with pointer jumping — each
+    round every node takes ``min(label, neighbors' labels, label's
+    label)``. The label-of-label join halves label-chain depth per
+    round, so convergence is O(log diameter) rounds (the
+    DataFrame-native form of alternating large-star/small-star CC,
+    Kiveris et al., MapReduce connected components) — each round is
+    two hash shuffles (neighbor-min aggregate + label self-join), no
+    all-pairs work, labels monotonically decrease. One count() action
+    per round is the progress guard; ``localCheckpoint`` cuts lineage
+    so plans stay O(1) deep (same discipline as
+    operators/threads.py:_propagate_iterative)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("nbr_node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        lbl2 = labels.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
+        jumped = labels.join(
+            lbl2, labels["label"] == lbl2["l_node"], "left"
+        ).select("node", "label", F.col("l_label").alias("jump_min"))
+        new = (
+            jumped.join(nbr, jumped["node"] == nbr["nbr_node"], "left")
+            .select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_min", "label"),
+                    F.coalesce("jump_min", "label"),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("label") != F.col("old_label")).count()
+        labels = new.select("node", "label")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def embedding_cosine_neardups(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -56,6 +56,198 @@ def fingerprints(docs: DataFrame, shingle_n: int = 5) -> DataFrame:
     )
 
 
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition features per doc (Rae et al. 2021's
+    repetition filters, re-expressed over word n-grams since the
+    corpus has no line structure):
+
+    - ``top_2gram_frac``: occurrences of the most frequent word
+      2-gram / total 2-grams (high ⇒ boilerplate loops);
+    - ``dup_3gram_frac``: 1 − distinct 3-grams / total 3-grams;
+    - ``max_token_run``: longest run of one token repeated
+      back-to-back.
+
+    All native expressions: two n-gram aggregations (map-side
+    combining hash aggs over the shingle stream) plus one
+    change-point window for the run length — no UDFs. Docs shorter
+    than the n-gram width get NULL for that feature (documented;
+    the synthetic corpus has none)."""
+    g2 = (
+        shingles(docs, 2)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_2grams"),
+            F.max("cnt").alias("top_2gram_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_2grams",
+            "top_2gram_cnt",
+            F.round(
+                F.col("top_2gram_cnt") / F.col("n_2grams").cast("double"), 4
+            ).alias("top_2gram_frac"),
+        )
+    )
+    g3 = (
+        shingles(docs, 3)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_3grams"),
+            F.countDistinct("shingle").alias("n_distinct_3grams"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                1.0
+                - F.col("n_distinct_3grams") / F.col("n_3grams").cast("double"),
+                4,
+            ).alias("dup_3gram_frac"),
+        )
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = toks.withColumn(
+        "chg",
+        F.when(F.col("tok") == F.lag("tok").over(w), F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn("run_id", F.sum("chg").over(w))
+    rmax = (
+        runs.groupBy("doc_id", "run_id")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("max_token_run"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(g2, ["doc_id"], "left")
+        .join(g3, ["doc_id"], "left")
+        .join(rmax, ["doc_id"], "left")
+    )
+
+
+# PII regexes — identical Java-regex / RE2 semantics (character
+# classes, \b ASCII word boundary, bounded repetition only), so the
+# Spark expressions and the DuckDB oracle match byte-for-byte.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def with_synthetic_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically inject PII-shaped strings into the corpus
+    text (emails for doc_id % 3 == 0, phone numbers for % 4 == 1,
+    IPv4s for % 5 == 2) — the testdata corpus is PII-free, so the
+    scrub operator needs a deterministic corpus both engines can
+    derive identically (same pattern as corpus.urls_from_documents)."""
+    d = F.col("doc_id")
+    email = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit(" contact user"), d.cast("string"),
+            F.lit("@mail"), (d % 7).cast("string"), F.lit(".example.com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 4 == 1,
+        F.concat(
+            F.lit(" call 415-555-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 5 == 2,
+        F.concat(
+            F.lit(" from 10."), (d % 256).cast("string"),
+            F.lit(".0."), (d % 100).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", "lang", F.concat(F.col("text"), email, phone, ip).alias("text")
+    )
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Detect + redact PII (emails, NANP-style phone numbers, IPv4
+    addresses) with native ``regexp_extract_all`` / ``regexp_replace``
+    — counts per category plus the md5 of the fully-redacted text
+    (the digest keeps the verified payload small while still pinning
+    every replaced byte). Redaction order: emails first (their
+    domains would otherwise feed the IP/phone patterns), then IPs,
+    then phones."""
+    t = F.col("text")
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all(t, F.lit(PII_IP_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IP_RE, "<IP>"
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        n_ips.cast("int").alias("n_ips"),
+        F.md5(redacted).alias("redacted_digest"),
+    )
+
+
+# per-language keep rates (percent) for the deterministic stratified
+# sampler — a typical training-mix rebalance (downsample the dominant
+# language, keep the tails)
+SAMPLE_RATES = {"en": 30, "de": 60, "fr": 60, "es": 60, "zh": 90}
+
+
+def sample_bucket(doc_id: F.Column) -> F.Column:
+    """Deterministic 0-99 bucket from md5(doc_id) — engine-portable
+    (DuckDB computes the identical hex-prefix integer), so sampling
+    is reproducible and join-free at any scale."""
+    return (
+        F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, rates: dict[str, int] | None = None
+) -> DataFrame:
+    """Per-language deterministic downsampling summary: every doc
+    hashes into a 0-99 bucket, strata keep ``bucket < rate[lang]``.
+    Returns one row per language — (n_docs, n_kept, n_tokens_kept,
+    kept_pct) — the mixing/budget accounting a training-data pipeline
+    runs before materializing the sampled corpus. Pure map-side
+    expression + one hash aggregate; no shuffle beyond the groupBy."""
+    rates = SAMPLE_RATES if rates is None else rates
+    rate = F.lit(None).cast("int")
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    keep = sample_bucket(F.col("doc_id")) < rate
+    n_tok = F.size(F.split("text", " "))
+    return (
+        docs.select("doc_id", "lang", keep.alias("keep"), n_tok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("n_tokens_kept"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_kept",
+            "n_tokens_kept",
+            F.round(F.col("n_kept") * 100.0 / F.col("n_docs"), 2).alias("kept_pct"),
+        )
+    )
+
+
 def language_guess(docs: DataFrame) -> DataFrame:
     """Stopword-marker language heuristic (the operator shape of an
     n-gram language-ID; the synthetic corpus is vocab-uniform so the

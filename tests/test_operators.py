@@ -247,3 +247,136 @@ def test_ann_ivf_recall_and_partitioning(spark, emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"recall {recall}"
+
+
+def test_repetition_scores_planted(spark, docs):
+    """Gopher-style repetition features on hand-computable docs: a
+    looping 2-gram, a clean doc, and a back-to-back token run."""
+    from scrapetition_spark.operators.text import repetition_scores
+
+    planted = spark.createDataFrame(
+        [
+            # "spam ham" appears 3x out of 5 2-grams
+            (9301, "spam ham spam ham spam ham", "en", "x", 26),
+            # all 2-grams and 3-grams distinct, no runs
+            (9302, "one two three four five", "en", "x", 23),
+            # "go go go go" = max run 4
+            (9303, "stop go go go go stop", "en", "x", 21),
+        ],
+        docs.schema,
+    )
+    out = {r["doc_id"]: r for r in repetition_scores(planted).collect()}
+    r1 = out[9301]
+    assert r1["n_2grams"] == 5 and r1["top_2gram_cnt"] == 3
+    assert r1["top_2gram_frac"] == 0.6
+    r2 = out[9302]
+    assert r2["top_2gram_cnt"] == 1 and r2["dup_3gram_frac"] == 0.0
+    assert r2["max_token_run"] == 1
+    assert out[9303]["max_token_run"] == 4
+    # duplicate 3-grams in the loop doc: 4 total, 2 distinct
+    assert r1["dup_3gram_frac"] == 0.5
+
+
+def test_pii_scrub_counts_and_redaction(spark, docs):
+    """Planted PII is counted per category and fully redacted; the
+    digest equals md5 of the expected redacted text."""
+    import hashlib
+
+    from scrapetition_spark.operators.text import pii_scrub
+
+    planted = spark.createDataFrame(
+        [
+            (9401, "mail me at bob.smith+x@sub.example.org today", "en", "x", 1),
+            (9402, "call 415-555-0123 or 212-555-9876 now", "en", "x", 1),
+            (9403, "server at 10.1.2.3 and 192.168.0.1", "en", "x", 1),
+            (9404, "clean text with no pii at all", "en", "x", 1),
+        ],
+        docs.schema,
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(planted).collect()}
+    assert out[9401]["n_emails"] == 1 and out[9401]["n_phones"] == 0
+    assert out[9402]["n_phones"] == 2
+    assert out[9403]["n_ips"] == 2
+    assert out[9404]["n_emails"] == out[9404]["n_phones"] == out[9404]["n_ips"] == 0
+    exp = hashlib.md5(b"mail me at <EMAIL> today").hexdigest()
+    assert out[9401]["redacted_digest"] == exp
+    exp3 = hashlib.md5(b"server at <IP> and <IP>").hexdigest()
+    assert out[9403]["redacted_digest"] == exp3
+
+
+def test_pii_scrub_synthetic_injection_roundtrip(spark, docs):
+    """with_synthetic_pii plants exactly the counts pii_scrub finds:
+    doc_id%3==0 → 1 email, %4==1 → 1 phone, %5==2 → 1 IP (the corpus
+    itself is PII-free, asserted on a no-injection pass)."""
+    from scrapetition_spark.operators.text import pii_scrub, with_synthetic_pii
+
+    base = pii_scrub(docs)
+    assert base.filter(
+        (F.col("n_emails") > 0) | (F.col("n_phones") > 0) | (F.col("n_ips") > 0)
+    ).count() == 0
+
+    out = pii_scrub(with_synthetic_pii(docs))
+    bad = out.filter(
+        (F.col("n_emails") != F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0))
+        | (F.col("n_phones") != F.when(F.col("doc_id") % 4 == 1, 1).otherwise(0))
+        | (F.col("n_ips") != F.when(F.col("doc_id") % 5 == 2, 1).otherwise(0))
+    )
+    assert bad.count() == 0
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, docs):
+    """The sampler is deterministic (same summary twice), respects
+    rate=0/100 exactly, and keeps per-language rates within a
+    hash-uniform tolerance of the target."""
+    from scrapetition_spark.operators.text import stratified_sample
+
+    rows1 = {r["lang"]: r for r in stratified_sample(docs).collect()}
+    rows2 = {r["lang"]: r for r in stratified_sample(docs).collect()}
+    assert rows1.keys() == rows2.keys()
+    for lang in rows1:
+        assert rows1[lang] == rows2[lang]
+
+    # rate 100 keeps everything; rate 0 keeps nothing
+    langs = list(rows1)
+    edge = stratified_sample(
+        docs, rates={langs[0]: 100, **{l: 0 for l in langs[1:]}}
+    )
+    for r in edge.collect():
+        if r["lang"] == langs[0]:
+            assert r["n_kept"] == r["n_docs"] and r["kept_pct"] == 100.0
+        else:
+            assert r["n_kept"] == 0 and r["n_tokens_kept"] == 0
+
+    # default rates land near target (±15pp at sf0.001 sizes)
+    from scrapetition_spark.operators.text import SAMPLE_RATES
+
+    for lang, r in rows1.items():
+        target = SAMPLE_RATES[lang]
+        assert abs(r["kept_pct"] - target) <= 15, (lang, r["kept_pct"], target)
+
+
+def test_neardup_clusters_transitive(spark, docs):
+    """Connected components: a planted chain a-b, b-c plus a separate
+    pair d-e yields clusters {a,b,c}→a and {d,e}→d; label propagation
+    converges (transitivity the pair list alone doesn't give)."""
+    from scrapetition_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_neardup_clusters_long_chain_pointer_jumping(spark):
+    """A 64-node path graph converges to one cluster — pointer
+    jumping must beat naive per-hop propagation well inside the
+    iteration cap (label-only propagation would need 63 rounds)."""
+    from scrapetition_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    out = neardup_clusters(pairs, max_iterations=16)
+    assert out.select("cluster_id").distinct().count() == 1
+    assert out.count() == 65
