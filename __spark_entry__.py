@@ -406,6 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def t7(spark, sf):
         return T.stratified_sample(_t(spark, sf, "documents"))
 
+    def t8(spark, sf):
+        return T.pack_sequences(_t(spark, sf, "documents"))
+
     def d6(spark, sf):
         """Connected components over the MinHash-LSH candidate pairs:
         (doc_id, cluster_id=min member) — the canonical-survivor map a
@@ -582,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_repetition_scores": t5,
         "t6_pii_scrub": t6,
         "t7_stratified_sample": t7,
+        "t8_pack_sequences": t8,
         "crawl_epoch": crawl_epoch,
         "crawl_epoch_wide": crawl_epoch_wide,
         "crawl_epoch_scoped": crawl_epoch_scoped,
@@ -1518,6 +1522,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t6_pii_scrub": _pii_scrub_oracle(),
         "t7_stratified_sample": _stratified_sample_oracle(),
+        # twin of text.pack_sequences(seq_len=512, n_streams=8): the
+        # stream is the identical md5-prefix bucket, the running sum is
+        # the identical ROWS window; HUGEINT sums cast back to BIGINT
+        "t8_pack_sequences": """
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       % 8 AS stream
+              FROM documents),
+            c AS (
+              SELECT doc_id, stream, n_tokens,
+                     CAST(COALESCE(sum(n_tokens) OVER (
+                       PARTITION BY stream ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum_before
+              FROM s)
+            SELECT doc_id, stream, n_tokens,
+                   cum_before // 512 AS first_seq,
+                   cum_before % 512 AS offset_in_seq,
+                   ((cum_before + n_tokens - 1) // 512)
+                     - (cum_before // 512) + 1 AS n_seqs_spanned
+            FROM c
+        """,
     }
     # corpus-level ANN recall@k (VERDICT r02 next-7): the exact side
     # reuses the s1 oracle verbatim, so the recall number's

@@ -248,6 +248,52 @@ def stratified_sample(
     )
 
 
+def pack_sequences(
+    docs: DataFrame, seq_len: int = 512, n_streams: int = 8
+) -> DataFrame:
+    """GPT-style sequence packing plan: documents are concatenated in
+    deterministic order (by doc_id) within ``n_streams`` independent
+    token streams (md5-bucketed) and cut every ``seq_len`` tokens,
+    documents splitting across cuts — the standard LLM-pretraining
+    packing. Returns the per-doc placement map ``(doc_id, stream,
+    n_tokens, first_seq, offset_in_seq, n_seqs_spanned)`` that a
+    tokenizer-materialization pass joins on to emit the actual
+    sequences.
+
+    Scale shape: one running-sum window per stream and nothing else —
+    streams are independent token tapes, so packing 100 TB is
+    embarrassingly parallel across the hash buckets (no global
+    ordering, no cross-stream shuffle; ``n_streams`` ≈ cluster
+    parallelism). Deterministic: same corpus ⇒ same placement on any
+    cluster size."""
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    stream = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % n_streams
+    )
+    base = docs.select(
+        "doc_id", stream.alias("stream"), n_tok.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return base.select(
+        "doc_id",
+        "stream",
+        "n_tokens",
+        F.floor(cum_before / seq_len).alias("first_seq"),
+        (cum_before % seq_len).alias("offset_in_seq"),
+        (
+            F.floor((cum_before + F.col("n_tokens") - 1) / seq_len)
+            - F.floor(cum_before / seq_len)
+            + 1
+        ).alias("n_seqs_spanned"),
+    )
+
+
 def language_guess(docs: DataFrame) -> DataFrame:
     """Stopword-marker language heuristic (the operator shape of an
     n-gram language-ID; the synthetic corpus is vocab-uniform so the

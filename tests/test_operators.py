@@ -380,3 +380,65 @@ def test_neardup_clusters_long_chain_pointer_jumping(spark):
     out = neardup_clusters(pairs, max_iterations=16)
     assert out.select("cluster_id").distinct().count() == 1
     assert out.count() == 65
+
+
+def test_pack_sequences_single_stream_hand_computed(spark, docs):
+    """One stream, seq_len=5: placement of hand-sized docs is exact,
+    including a doc spanning a cut boundary."""
+    from scrapetition_spark.operators.text import pack_sequences
+
+    planted = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "x", 5),          # 3 tok @ 0 → seq 0
+            (2, "d e f g", "en", "x", 7),        # 4 tok @ 3 → spans seq 0-1
+            (3, "h", "en", "x", 1),              # 1 tok @ 7 → seq 1
+            (4, "i j k l m n o p q r s", "en", "x", 21),  # 11 tok @ 8 → seq 1-3
+        ],
+        docs.schema,
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(planted, seq_len=5, n_streams=1).collect()
+    }
+    assert out[1]["first_seq"] == 0 and out[1]["offset_in_seq"] == 0
+    assert out[1]["n_seqs_spanned"] == 1
+    assert out[2]["first_seq"] == 0 and out[2]["offset_in_seq"] == 3
+    assert out[2]["n_seqs_spanned"] == 2
+    assert out[3]["first_seq"] == 1 and out[3]["offset_in_seq"] == 2
+    assert out[4]["first_seq"] == 1 and out[4]["offset_in_seq"] == 3
+    assert out[4]["n_seqs_spanned"] == 3  # tokens 8..18 → seqs 1,2,3
+
+
+def test_pack_sequences_stream_tape_invariants(spark, docs):
+    """Structural invariants on the real corpus: offsets stay below
+    seq_len, each stream is a gapless token tape (sum of earlier
+    docs' tokens == this doc's global offset), and placement is
+    independent of input partitioning (determinism at any
+    parallelism)."""
+    from scrapetition_spark.operators.text import pack_sequences
+
+    out = pack_sequences(docs, seq_len=128, n_streams=4)
+    assert out.filter(
+        (F.col("offset_in_seq") < 0) | (F.col("offset_in_seq") >= 128)
+    ).count() == 0
+    # gapless tape: reconstruct each doc's global start and compare
+    # to the running sum computed independently via a self-join
+    rows = out.collect()
+    by_stream: dict[int, list] = {}
+    for r in rows:
+        by_stream.setdefault(r["stream"], []).append(r)
+    for stream, members in by_stream.items():
+        members.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in members:
+            assert r["first_seq"] * 128 + r["offset_in_seq"] == cum
+            cum += r["n_tokens"]
+    # repartition the input differently: identical placement
+    again = {
+        (r["doc_id"], r["stream"], r["first_seq"], r["offset_in_seq"])
+        for r in pack_sequences(docs.repartition(13), 128, 4).collect()
+    }
+    assert again == {
+        (r["doc_id"], r["stream"], r["first_seq"], r["offset_in_seq"])
+        for r in rows
+    }
