@@ -419,6 +419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             D.minhash_lsh_candidates(_t(spark, sf, "documents"), n_bands=4)
         )
 
+    def d7(spark, sf):
+        return D.eval_decontamination(_t(spark, sf, "documents"))
+
     def p1(spark, sf):
         """The composed training-data cleaning pipeline a 100 TB
         corpus runs end-to-end: exact-dedup survivors ∩ quality gate
@@ -569,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_embedding_neardup": d5,
         "d5b_lsh_recall": d5b,
         "d6_neardup_clusters": d6,
+        "d7_decontamination": d7,
         "s2b_ann_recall": s2b,
         "s3b_ann_recall": s3b,
         "m1_media_metadata": m1,
@@ -1293,6 +1297,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.start, e.dst FROM reach r JOIN edges e ON r.node = e.src)
             SELECT start AS doc_id, min(node) AS cluster_id
             FROM reach GROUP BY start
+        """,
+        # twin of dedup.eval_decontamination(eval_mod=97, n=3): eval
+        # stratum doc_id%97==0, broadcast-probe semantics expressed as
+        # a plain join over the identical shingle stream
+        "d7_decontamination": f"""
+            WITH {_SHINGLES3.strip()},
+            ev AS (SELECT DISTINCT shingle FROM sh2 WHERE doc_id % 97 = 0),
+            corp AS (SELECT doc_id, shingle FROM sh2 WHERE doc_id % 97 <> 0),
+            tot AS (SELECT doc_id, count(*) AS n_ngrams
+                    FROM corp GROUP BY doc_id),
+            hit AS (SELECT doc_id, count(*) AS n_hit_ngrams,
+                           count(DISTINCT c.shingle) AS n_hit_distinct
+                    FROM corp c JOIN ev USING (shingle) GROUP BY doc_id)
+            SELECT h.doc_id, n_ngrams, n_hit_ngrams, n_hit_distinct,
+                   round(n_hit_ngrams / CAST(n_ngrams AS DOUBLE), 4)
+                     AS contam_frac
+            FROM hit h JOIN tot t ON h.doc_id = t.doc_id
         """,
         "s2_ann_lsh": f"""
             WITH {_sketch_tables_cte(8, 8).strip()},

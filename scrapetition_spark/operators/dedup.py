@@ -361,6 +361,46 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
     )
 
 
+def eval_decontamination(
+    docs: DataFrame, eval_mod: int = 97, n: int = 3
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing word
+    n-grams with a held-out eval set (here the deterministic stratum
+    ``doc_id % eval_mod == 0`` — in production, the benchmark files).
+    Returns one row per CONTAMINATED training doc: total n-grams,
+    hit counts (raw + distinct shingles), and the contaminated
+    fraction — the removal/flag list a pretraining pipeline applies
+    before tokenization (the 13-gram overlap rule of GPT-3 Appendix C
+    / Gopher, at configurable ``n``).
+
+    Scale shape: the eval side is distinct-projected and BROADCAST —
+    eval sets are small by definition (≤ millions of n-grams), so the
+    100 TB corpus side streams map-side with zero shuffle for the
+    probe; the two aggregates are map-side-combining hash aggs on
+    doc_id. No corpus-vs-corpus join exists on any path."""
+    is_eval = F.col("doc_id") % eval_mod == 0
+    ev_sh = shingles(docs.filter(is_eval), n).select("shingle").distinct()
+    corp_sh = shingles(docs.filter(~is_eval), n)
+    totals = corp_sh.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        corp_sh.join(F.broadcast(ev_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hit_ngrams"),
+            F.countDistinct("shingle").alias("n_hit_distinct"),
+        )
+    )
+    return hits.join(totals, "doc_id").select(
+        "doc_id",
+        "n_ngrams",
+        "n_hit_ngrams",
+        "n_hit_distinct",
+        F.round(
+            F.col("n_hit_ngrams") / F.col("n_ngrams").cast("double"), 4
+        ).alias("contam_frac"),
+    )
+
+
 def embedding_cosine_neardups(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -442,3 +442,29 @@ def test_pack_sequences_stream_tape_invariants(spark, docs):
         (r["doc_id"], r["stream"], r["first_seq"], r["offset_in_seq"])
         for r in rows
     }
+
+
+def test_eval_decontamination_planted(spark, docs):
+    """A training doc sharing exactly one 3-gram window (twice) with
+    the eval stratum is flagged with exact counts; a disjoint doc is
+    absent; eval docs themselves are never in the output."""
+    from scrapetition_spark.operators.dedup import eval_decontamination
+
+    planted = spark.createDataFrame(
+        [
+            # eval doc (doc_id % 7 == 0 with eval_mod=7)
+            (7000, "secret bench phrase plus filler words", "en", "x", 1),
+            # contaminated: contains "secret bench phrase" twice
+            (7001, "secret bench phrase again secret bench phrase", "en", "x", 1),
+            # clean: no shared 3-gram
+            (7002, "totally unrelated text goes here now", "en", "x", 1),
+        ],
+        docs.schema,
+    )
+    out = {r["doc_id"]: r for r in eval_decontamination(planted, eval_mod=7).collect()}
+    assert 7000 not in out and 7002 not in out
+    r = out[7001]
+    # 7 tokens -> 5 3-grams; "secret bench phrase" occurs at pos 0 and 4
+    assert r["n_ngrams"] == 5
+    assert r["n_hit_ngrams"] == 2 and r["n_hit_distinct"] == 1
+    assert r["contam_frac"] == 0.4
