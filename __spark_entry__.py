@@ -441,6 +441,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "n_tokens", "distinct_ratio")
         )
 
+    def p2(spark, sf):
+        """The FULL training-data pipeline, one declarative plan:
+        exact-dedup survivors → quality floor (≥20 tokens) →
+        Gopher repetition gates (top-2gram ≤ 0.1, dup-3gram ≤ 0.3,
+        max run ≤ 3) → eval-stratum + decontamination removal →
+        per-language stratified sampling. Emits the final kept doc
+        list (doc_id, lang, n_tokens) a tokenizer pass would consume.
+        Every stage is individually oracle-verified (d1/t1/t5/d7/t7);
+        this key verifies their COMPOSITION — Catalyst fuses the
+        gates into one scan-side filter chain over shared aggregates."""
+        from scrapetition_spark.operators.text import SAMPLE_RATES, sample_bucket
+
+        docs = _t(spark, sf, "documents")
+        canon = D.exact_dedup(docs).select(
+            F.col("canonical_doc").alias("doc_id")
+        )
+        q = T.quality_scores(docs).select("doc_id", "n_tokens")
+        rep = T.repetition_scores(docs).select(
+            "doc_id", "top_2gram_frac", "dup_3gram_frac", "max_token_run"
+        )
+        contam = D.eval_decontamination(docs).select("doc_id")
+        rate = F.lit(None).cast("int")
+        for lang_, r_ in sorted(SAMPLE_RATES.items()):
+            rate = F.when(F.col("lang") == lang_, F.lit(r_)).otherwise(rate)
+        return (
+            docs.select("doc_id", "lang")
+            .join(canon, ["doc_id"], "left_semi")
+            .join(q, ["doc_id"])
+            .join(rep, ["doc_id"])
+            .join(contam, ["doc_id"], "left_anti")
+            .filter(F.col("doc_id") % 97 != 0)
+            .filter(
+                (F.col("n_tokens") >= 20)
+                & (F.coalesce("top_2gram_frac", F.lit(0.0)) <= 0.1)
+                & (F.coalesce("dup_3gram_frac", F.lit(0.0)) <= 0.3)
+                & (F.coalesce("max_token_run", F.lit(1)) <= 3)
+            )
+            .filter(sample_bucket(F.col("doc_id")) < rate)
+            .select("doc_id", "lang", "n_tokens")
+        )
+
     def s12(spark, sf):
         # S12 parametric WHERE scan (URL.hs:47-53, Sql.hs:117-146)
         from scrapetition_spark.plans.frontier import select_urls_where
@@ -582,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_ann_lsh": s2,
         "s3_ann_ivf": s3,
         "p1_clean_corpus": p1,
+        "p2_full_pipeline": p2,
         "t1_quality_scores": t1,
         "t2_token_counts": t2,
         "t3_fingerprints": t3,
@@ -888,6 +930,80 @@ def _stratified_sample_oracle() -> str:
                    round(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 100.0
                          / count(*), 2) AS kept_pct
             FROM s GROUP BY lang
+    """
+
+
+def _full_pipeline_oracle() -> str:
+    """DuckDB twin of the p2 composed pipeline: the dedup-canon,
+    quality, repetition, decontamination, and sampling fragments are
+    the verbatim constructions of the d1/t1/t5/d7/t7 oracles, chained
+    with identical thresholds and NULL-coalescing."""
+    from scrapetition_spark.operators.text import SAMPLE_RATES
+
+    rate_case = " ".join(
+        f"WHEN '{lang}' THEN {r}" for lang, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+            WITH {_SHINGLES3.strip()},
+            canon AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            q AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+              FROM documents),
+            toksr AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents),
+            sh2g AS (
+              SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS shingle
+              FROM toksr WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            g2 AS (
+              SELECT doc_id, round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 4)
+                       AS top_2gram_frac
+              FROM (SELECT doc_id, shingle, count(*) AS cnt FROM sh2g
+                    WHERE shingle IS NOT NULL GROUP BY doc_id, shingle)
+              GROUP BY doc_id),
+            g3 AS (
+              SELECT doc_id,
+                     round(1.0 - count(DISTINCT shingle)
+                           / CAST(count(*) AS DOUBLE), 4) AS dup_3gram_frac
+              FROM sh2 GROUP BY doc_id),
+            chg AS (
+              SELECT doc_id, pos,
+                     CASE WHEN tok = lag(tok) OVER (PARTITION BY doc_id
+                                                    ORDER BY pos)
+                          THEN 0 ELSE 1 END AS chg
+              FROM toksr),
+            rid AS (
+              SELECT doc_id,
+                     sum(chg) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+              FROM chg),
+            rmax AS (
+              SELECT doc_id, max(run_len) AS max_token_run
+              FROM (SELECT doc_id, run_id, count(*) AS run_len
+                    FROM rid GROUP BY doc_id, run_id)
+              GROUP BY doc_id),
+            ev AS (SELECT DISTINCT shingle FROM sh2 WHERE doc_id % 97 = 0),
+            contam AS (
+              SELECT DISTINCT c.doc_id
+              FROM (SELECT doc_id, shingle FROM sh2 WHERE doc_id % 97 <> 0) c
+              JOIN ev USING (shingle))
+            SELECT d.doc_id, d.lang, q.n_tokens
+            FROM documents d
+            JOIN canon USING (doc_id)
+            JOIN q ON d.doc_id = q.doc_id
+            LEFT JOIN g2 ON d.doc_id = g2.doc_id
+            LEFT JOIN g3 ON d.doc_id = g3.doc_id
+            LEFT JOIN rmax ON d.doc_id = rmax.doc_id
+            WHERE d.doc_id % 97 <> 0
+              AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+              AND q.n_tokens >= 20
+              AND COALESCE(top_2gram_frac, 0) <= 0.1
+              AND COALESCE(dup_3gram_frac, 0) <= 0.3
+              AND COALESCE(max_token_run, 1) <= 3
+              AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+                    % 100 < CASE d.lang {rate_case} END
     """
 
 
@@ -1404,6 +1520,7 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN canon ON q.doc_id = canon.doc_id
             WHERE n_tokens >= 10 AND looks_english
         """,
+        "p2_full_pipeline": _full_pipeline_oracle(),
         "s3_ann_ivf": """
             WITH cents AS (
               -- hash-spread deterministic anchor sample, mirroring

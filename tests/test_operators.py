@@ -468,3 +468,63 @@ def test_eval_decontamination_planted(spark, docs):
     assert r["n_ngrams"] == 5
     assert r["n_hit_ngrams"] == 2 and r["n_hit_distinct"] == 1
     assert r["contam_frac"] == 0.4
+
+
+def test_full_pipeline_composition(spark, docs):
+    """p2 (the composed cleaning pipeline in the driver entry) equals
+    the intersection of its individually-verified gates — every kept
+    doc passes each gate recomputed independently, and each gate has
+    signal (drops at least one doc that passed the previous ones) on
+    a corpus planted to exercise all of them."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+    from scrapetition_spark.operators.dedup import (
+        eval_decontamination,
+        exact_dedup,
+    )
+    from scrapetition_spark.operators.text import (
+        SAMPLE_RATES,
+        quality_scores,
+        repetition_scores,
+        sample_bucket,
+    )
+
+    kept = {
+        r["doc_id"]
+        for r in E.queries()["p2_full_pipeline"](spark, SF).collect()
+    }
+    assert kept, "pipeline kept nothing at sf0.001"
+
+    canon = {r["canonical_doc"] for r in exact_dedup(docs).collect()}
+    q = {r["doc_id"]: r["n_tokens"] for r in quality_scores(docs).collect()}
+    rep = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+    contam = {r["doc_id"] for r in eval_decontamination(docs).collect()}
+    buckets = {
+        r["doc_id"]: (r["b"], r["lang"])
+        for r in docs.select(
+            "doc_id", "lang", sample_bucket(F.col("doc_id")).alias("b")
+        ).collect()
+    }
+    for d in kept:
+        assert d in canon and q[d] >= 20 and d % 97 != 0 and d not in contam
+        assert (rep[d]["top_2gram_frac"] or 0) <= 0.1
+        assert (rep[d]["max_token_run"] or 1) <= 3
+        b, lang = buckets[d]
+        assert b < SAMPLE_RATES[lang]
+    # sampling gate has signal: some doc passing everything else is
+    # excluded purely by its bucket
+    passed_all_but_sample = {
+        d
+        for d in q
+        if d in canon and q[d] >= 20 and d % 97 != 0 and d not in contam
+        and (rep[d]["top_2gram_frac"] or 0) <= 0.1
+        and (rep[d]["dup_3gram_frac"] or 0) <= 0.3
+        and (rep[d]["max_token_run"] or 1) <= 3
+    }
+    assert kept == {
+        d for d in passed_all_but_sample
+        if buckets[d][0] < SAMPLE_RATES[buckets[d][1]]
+    }
+    assert passed_all_but_sample - kept, "sampling gate had no signal"
