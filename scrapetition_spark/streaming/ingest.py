@@ -76,6 +76,64 @@ def stream_discovered_urls(
     return writer.start()
 
 
+ADMIT_OUTPUT = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("target", StringType()),
+        StructField("event_time", TimestampType()),
+        StructField("admit_seq", LongType()),
+    ]
+)
+
+ADMIT_STATE = StructType([StructField("n_admitted", LongType())])
+
+
+def stream_politeness_admit(
+    stream: DataFrame, host_budget: int = 5
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): the
+    streaming twin of the batch politeness queue (plans/frontier.py
+    C9). Per host, admit discovered URLs up to a lifetime
+    ``host_budget`` and assign each a dense per-host ``admit_seq``;
+    everything past the budget is suppressed. The admitted count
+    lives in GroupState, so the cap holds ACROSS micro-batches —
+    a host that used its budget in batch 1 admits nothing in batch 9.
+
+    Determinism: rows are ordered (event_time, target) within each
+    batch before admission, so for any batch split that preserves
+    per-host event-time order the admitted set and sequence are
+    identical (tested one-batch vs file-at-a-time). Arrow-batched
+    pandas per host group — no per-row Python; state is one int per
+    host, bounded by the distinct-host count exactly like the batch
+    frontier's per-host aggregates."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def admit(key, pdfs, state):
+        (host,) = key
+        n = state.get[0] if state.exists else 0
+        parts = [p for p in pdfs if len(p)]
+        batch = (
+            pd.concat(parts).sort_values(["event_time", "target"])
+            if parts
+            else pd.DataFrame(columns=["target", "event_time"])
+        )
+        room = max(0, host_budget - n)
+        adm = batch.head(room).copy()
+        adm["host"] = host
+        adm["admit_seq"] = range(n, n + len(adm))
+        state.update((n + len(adm),))
+        yield adm[["host", "target", "event_time", "admit_seq"]]
+
+    return (
+        stream.groupBy("host")
+        .applyInPandasWithState(
+            admit, ADMIT_OUTPUT, ADMIT_STATE, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_seen_counts(
     stream: DataFrame, window: str = "1 minute", watermark: str = "5 minutes"
 ) -> DataFrame:

@@ -92,3 +92,65 @@ def test_stream_seen_counts_windows(spark):
     # 8 rows at 30s spacing → 2 per 1-minute window, hosts alternate
     assert got[("12:00", "h0.test")] == 1 and got[("12:00", "h1.test")] == 1
     assert sum(got.values()) == 8
+
+
+def _run_admit(spark, drop, budget, max_files=None):
+    from scrapetition_spark.streaming.ingest import stream_politeness_admit
+
+    reader = spark.readStream.schema(DISCOVERED_STREAM)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = (
+        reader.parquet(drop)
+        .withColumn("host", F.regexp_extract("target", r"https://([^/]+)/", 1))
+        .select("host", "target", "event_time")
+    )
+    out = stream_politeness_admit(stream, host_budget=budget)
+    name = f"admit_{abs(hash((drop, budget, max_files)))}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {
+        (r["host"], r["target"], r["admit_seq"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+
+def test_stream_politeness_admit_budget_across_batches(spark):
+    """The per-host cap holds across micro-batches (GroupState), the
+    admit_seq is dense per host, and the admitted set is identical
+    whether the files drain in one batch or one-at-a-time."""
+    import datetime as dt
+    import tempfile
+
+    drop = tempfile.mkdtemp(prefix="admit-drop-")
+    # host a: 4 urls in file 1 + 3 in file 2 (budget 5 → 5 admitted,
+    # the last 2 of file 2 suppressed); host b: 2 urls total
+    f1 = [
+        (f"https://a.test/{i}", 0, 0, 0, i, T0 + dt.timedelta(seconds=i))
+        for i in range(4)
+    ] + [("https://b.test/0", 0, 0, 0, 0, T0)]
+    f2 = [
+        (f"https://a.test/{i}", 0, 0, 0, i, T0 + dt.timedelta(seconds=i))
+        for i in range(4, 7)
+    ] + [("https://b.test/1", 0, 0, 0, 1, T0 + dt.timedelta(seconds=1))]
+    _drop(spark, drop, f1)
+    _drop(spark, drop, f2)
+
+    got = _run_admit(spark, drop, budget=5, max_files=1)
+    a = sorted((t, s) for h, t, s in got if h == "a.test")
+    b = sorted((t, s) for h, t, s in got if h == "b.test")
+    assert [s for _, s in a] == [0, 1, 2, 3, 4]
+    assert {t for t, _ in a} == {f"https://a.test/{i}" for i in range(5)}
+    assert [s for _, s in b] == [0, 1]
+
+    # same drop dir drained in ONE batch: identical admitted set —
+    # modulo which file boundary the cap lands on, per-host event-time
+    # order is preserved in both drains
+    one = _run_admit(spark, drop, budget=5, max_files=None)
+    assert one == got
