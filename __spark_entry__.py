@@ -451,7 +451,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Every stage is individually oracle-verified (d1/t1/t5/d7/t7);
         this key verifies their COMPOSITION — Catalyst fuses the
         gates into one scan-side filter chain over shared aggregates."""
-        from scrapetition_spark.operators.text import SAMPLE_RATES, sample_bucket
+        from scrapetition_spark.operators.text import (
+            SAMPLE_RATES,
+            rate_expr,
+            sample_bucket,
+        )
 
         docs = _t(spark, sf, "documents")
         canon = D.exact_dedup(docs).select(
@@ -462,9 +466,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "top_2gram_frac", "dup_3gram_frac", "max_token_run"
         )
         contam = D.eval_decontamination(docs).select("doc_id")
-        rate = F.lit(None).cast("int")
-        for lang_, r_ in sorted(SAMPLE_RATES.items()):
-            rate = F.when(F.col("lang") == lang_, F.lit(r_)).otherwise(rate)
         return (
             docs.select("doc_id", "lang")
             .join(canon, ["doc_id"], "left_semi")
@@ -478,7 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 & (F.coalesce("dup_3gram_frac", F.lit(0.0)) <= 0.3)
                 & (F.coalesce("max_token_run", F.lit(1)) <= 3)
             )
-            .filter(sample_bucket(F.col("doc_id")) < rate)
+            .filter(sample_bucket(F.col("doc_id")) < rate_expr(SAMPLE_RATES))
             .select("doc_id", "lang", "n_tokens")
         )
 
@@ -864,8 +865,10 @@ def _pii_scrub_oracle() -> str:
     source of truth — Java regex and RE2 agree on these constructs),
     injection arithmetic mirrors with_synthetic_pii, and redaction
     order (emails → IPs → phones) is identical so the md5 digest pins
-    every replaced byte. DuckDB's regexp_replace needs the explicit
-    'g' flag to match Spark's replace-all default."""
+    every replaced byte; each category is counted on the
+    stage-redacted text exactly as the operator does. DuckDB's
+    regexp_replace needs the explicit 'g' flag to match Spark's
+    replace-all default."""
     from scrapetition_spark.operators.text import (
         PII_EMAIL_RE,
         PII_IP_RE,
@@ -890,18 +893,25 @@ def _pii_scrub_oracle() -> str:
                                   || '.0.' || CAST(doc_id % 100 AS VARCHAR)
                              ELSE '' END AS text
               FROM documents)
+            , staged AS (
+              SELECT doc_id, text,
+                     regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g')
+                       AS t1
+              FROM pii),
+            staged2 AS (
+              SELECT doc_id, text, t1,
+                     regexp_replace(t1, '{PII_IP_RE}', '<IP>', 'g') AS t2
+              FROM staged)
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INT)
                      AS n_emails,
-                   CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS INT)
+                   CAST(len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS INT)
                      AS n_phones,
-                   CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS INT)
+                   CAST(len(regexp_extract_all(t1, '{PII_IP_RE}')) AS INT)
                      AS n_ips,
-                   md5(regexp_replace(regexp_replace(regexp_replace(text,
-                       '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-                       '{PII_IP_RE}', '<IP>', 'g'),
-                       '{PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_digest
-            FROM pii
+                   md5(regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g'))
+                     AS redacted_digest
+            FROM staged2
     """
 
 

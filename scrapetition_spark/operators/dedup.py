@@ -356,6 +356,14 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
         labels = new.select("node", "label")
         if changed == 0:
             break
+    else:
+        # a partially-merged labeling would silently keep multiple
+        # "canonical survivors" per component downstream — fail loud
+        raise RuntimeError(
+            f"neardup_clusters did not converge within {max_iterations} "
+            f"rounds ({changed} labels still changing); raise "
+            "max_iterations (rounds needed ≈ log2 of component diameter)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

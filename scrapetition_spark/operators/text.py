@@ -67,64 +67,67 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     - ``max_token_run``: longest run of one token repeated
       back-to-back.
 
-    All native expressions: two n-gram aggregations (map-side
-    combining hash aggs over the shingle stream) plus one
-    change-point window for the run length — no UDFs. Docs shorter
-    than the n-gram width get NULL for that feature (documented;
-    the synthetic corpus has none)."""
-    g2 = (
-        shingles(docs, 2)
-        .groupBy("doc_id", "shingle")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_2grams"),
-            F.max("cnt").alias("top_2gram_cnt"),
+    These are DOCUMENT-LOCAL features, so the right 100 TB plan has
+    no shuffle at all: everything is computed with array higher-order
+    functions on the in-row token array (``zip_with`` n-grams, an
+    ``aggregate`` linear scan for the longest equal-run — the most
+    frequent element of the sorted 2-gram array IS its longest
+    equal-run). ONE parquet scan, ZERO exchanges (asserted by test),
+    all JVM-side expression evaluation — no Python, no explode, no
+    window sort. Docs shorter than the n-gram width get NULL for
+    that feature (documented; the synthetic corpus has none)."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+
+    def ngrams(width: int):
+        parts = [
+            F.slice(toks, i + 1, F.greatest(n - (width - 1), F.lit(0)))
+            for i in range(width)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = F.zip_with(out, p, lambda a, b: F.concat(a, F.lit(" "), b))
+        return out
+
+    def max_equal_run(arr):
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
         )
-        .select(
-            "doc_id",
-            "n_2grams",
-            "top_2gram_cnt",
+
+        def step(acc, x):
+            run = (
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+            )
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(arr, init, step, lambda acc: acc["best"])
+
+    g2 = ngrams(2)
+    g3 = ngrams(3)
+    n2 = F.size(g2)
+    n3 = F.size(g3)
+    top2 = max_equal_run(F.array_sort(g2))
+    return docs.select(
+        "doc_id",
+        F.when(n2 > 0, n2.cast("long")).alias("n_2grams"),
+        F.when(n2 > 0, top2).alias("top_2gram_cnt"),
+        F.when(n2 > 0, F.round(top2 / n2.cast("double"), 4)).alias(
+            "top_2gram_frac"
+        ),
+        F.when(
+            n3 > 0,
             F.round(
-                F.col("top_2gram_cnt") / F.col("n_2grams").cast("double"), 4
-            ).alias("top_2gram_frac"),
-        )
-    )
-    g3 = (
-        shingles(docs, 3)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_3grams"),
-            F.countDistinct("shingle").alias("n_distinct_3grams"),
-        )
-        .select(
-            "doc_id",
-            F.round(
-                1.0
-                - F.col("n_distinct_3grams") / F.col("n_3grams").cast("double"),
-                4,
-            ).alias("dup_3gram_frac"),
-        )
-    )
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    runs = toks.withColumn(
-        "chg",
-        F.when(F.col("tok") == F.lag("tok").over(w), F.lit(0)).otherwise(F.lit(1)),
-    ).withColumn("run_id", F.sum("chg").over(w))
-    rmax = (
-        runs.groupBy("doc_id", "run_id")
-        .agg(F.count("*").alias("run_len"))
-        .groupBy("doc_id")
-        .agg(F.max("run_len").alias("max_token_run"))
-    )
-    return (
-        docs.select("doc_id")
-        .join(g2, ["doc_id"], "left")
-        .join(g3, ["doc_id"], "left")
-        .join(rmax, ["doc_id"], "left")
+                1.0 - F.size(F.array_distinct(g3)) / n3.cast("double"), 4
+            ),
+        ).alias("dup_3gram_frac"),
+        max_equal_run(toks).alias("max_token_run"),
     )
 
 
@@ -175,19 +178,18 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     — counts per category plus the md5 of the fully-redacted text
     (the digest keeps the verified payload small while still pinning
     every replaced byte). Redaction order: emails first (their
-    domains would otherwise feed the IP/phone patterns), then IPs,
-    then phones."""
+    local parts / domains would otherwise feed the IP/phone
+    patterns), then IPs, then phones — and each category is COUNTED
+    on the text as it stands at its stage of that same order, so the
+    counts always agree with the digest (an IP-shaped email local
+    part like 10.1.2.3@example.com is one email, zero IPs)."""
     t = F.col("text")
     n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
-    n_phones = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0)))
-    n_ips = F.size(F.regexp_extract_all(t, F.lit(PII_IP_RE), F.lit(0)))
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IP_RE, "<IP>"
-        ),
-        PII_PHONE_RE,
-        "<PHONE>",
-    )
+    t1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(PII_IP_RE), F.lit(0)))
+    t2 = F.regexp_replace(t1, PII_IP_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
     return docs.select(
         "doc_id",
         n_emails.cast("int").alias("n_emails"),
@@ -203,14 +205,23 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
 SAMPLE_RATES = {"en": 30, "de": 60, "fr": 60, "es": 60, "zh": 90}
 
 
-def sample_bucket(doc_id: F.Column) -> F.Column:
-    """Deterministic 0-99 bucket from md5(doc_id) — engine-portable
+def sample_bucket(doc_id: F.Column, mod: int = 100) -> F.Column:
+    """Deterministic 0..mod-1 bucket from md5(doc_id) — engine-portable
     (DuckDB computes the identical hex-prefix integer), so sampling
     is reproducible and join-free at any scale."""
     return (
         F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 4), 16, 10)
-        .cast("long") % 100
+        .cast("long") % mod
     )
+
+
+def rate_expr(rates: dict[str, int]) -> F.Column:
+    """Per-language keep-rate CASE chain — the single source of truth
+    shared by stratified_sample and the composed p2 pipeline."""
+    rate = F.lit(None).cast("int")
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return rate
 
 
 def stratified_sample(
@@ -223,10 +234,7 @@ def stratified_sample(
     runs before materializing the sampled corpus. Pure map-side
     expression + one hash aggregate; no shuffle beyond the groupBy."""
     rates = SAMPLE_RATES if rates is None else rates
-    rate = F.lit(None).cast("int")
-    for lang, r in sorted(rates.items()):
-        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
-    keep = sample_bucket(F.col("doc_id")) < rate
+    keep = sample_bucket(F.col("doc_id")) < rate_expr(rates)
     n_tok = F.size(F.split("text", " "))
     return (
         docs.select("doc_id", "lang", keep.alias("keep"), n_tok.alias("n_tok"))
@@ -267,12 +275,10 @@ def pack_sequences(
     parallelism). Deterministic: same corpus ⇒ same placement on any
     cluster size."""
     n_tok = F.size(F.split("text", " ")).cast("long")
-    stream = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long") % n_streams
-    )
     base = docs.select(
-        "doc_id", stream.alias("stream"), n_tok.alias("n_tokens")
+        "doc_id",
+        sample_bucket(F.col("doc_id"), mod=n_streams).alias("stream"),
+        n_tok.alias("n_tokens"),
     )
     w = (
         Window.partitionBy("stream")

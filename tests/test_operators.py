@@ -477,8 +477,9 @@ def test_full_pipeline_composition(spark, docs):
     signal (drops at least one doc that passed the previous ones) on
     a corpus planted to exercise all of them."""
     import sys
+    from pathlib import Path
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
     import __spark_entry__ as E
     from scrapetition_spark.operators.dedup import (
         eval_decontamination,
@@ -528,3 +529,56 @@ def test_full_pipeline_composition(spark, docs):
         if buckets[d][0] < SAMPLE_RATES[buckets[d][1]]
     }
     assert passed_all_but_sample - kept, "sampling gate had no signal"
+
+
+def test_pii_scrub_nested_patterns_consistent(spark, docs):
+    """Counts agree with the redaction digest when categories nest:
+    an IP-shaped email local part is ONE email and ZERO IPs; a
+    phone-shaped local part is ONE email and ZERO phones (both would
+    double-count if counted on the raw text)."""
+    import hashlib
+
+    from scrapetition_spark.operators.text import pii_scrub
+
+    planted = spark.createDataFrame(
+        [
+            (9501, "reach me at 10.1.2.3@example.com ok", "en", "x", 1),
+            (9502, "or 415-555-0123@example.com maybe", "en", "x", 1),
+        ],
+        docs.schema,
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(planted).collect()}
+    r1 = out[9501]
+    assert (r1["n_emails"], r1["n_ips"], r1["n_phones"]) == (1, 0, 0)
+    assert r1["redacted_digest"] == hashlib.md5(
+        b"reach me at <EMAIL> ok"
+    ).hexdigest()
+    r2 = out[9502]
+    assert (r2["n_emails"], r2["n_phones"]) == (1, 0)
+
+
+def test_neardup_clusters_raises_when_not_converged(spark):
+    """Exhausting max_iterations with labels still changing raises
+    instead of returning a partially-merged clustering."""
+    import pytest as _pytest
+
+    from scrapetition_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(pairs, max_iterations=2)
+
+
+def test_repetition_scores_plan_is_shuffle_free(spark, docs):
+    """Document-local features must not shuffle: the physical plan is
+    one parquet scan with zero exchanges (the review finding that the
+    first cut paid three explode+window passes)."""
+    from scrapetition_spark.operators.text import repetition_scores
+
+    plan = (
+        repetition_scores(docs.limit(10))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
