@@ -103,6 +103,10 @@ def main() -> None:
         "d3_ngram_jaccard",
         "s1_cosine_topk",
         "t3_fingerprints",
+        # round-4 additions: the heaviest new text op and the fully
+        # composed cleaning pipeline
+        "t5_repetition_scores",
+        "p2_full_pipeline",
     ]
     qs = E.queries()
     times: dict[str, float] = {}
