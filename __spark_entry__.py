@@ -448,12 +448,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         max run ≤ 3) → eval-stratum + decontamination removal →
         per-language stratified sampling. Emits the final kept doc
         list (doc_id, lang, n_tokens) a tokenizer pass would consume.
-        Every stage is individually oracle-verified (d1/t1/t5/d7/t7);
-        this key verifies their COMPOSITION — Catalyst fuses the
-        gates into one scan-side filter chain over shared aggregates."""
+        Every stage is individually oracle-verified (d1/t1/t5/d7/t7).
+        The ROW-LOCAL gates (quality floor, repetition, sampling) are
+        computed inline on the base scan via the operators' shared
+        expression builders — joining the operators' output frames
+        back on doc_id would be a self-join Catalyst cannot fuse
+        (three extra corpus scans + two shuffles); only the genuinely
+        aggregate stages (exact-dedup survivors, decontamination)
+        join."""
         from scrapetition_spark.operators.text import (
             SAMPLE_RATES,
             rate_expr,
+            repetition_columns,
             sample_bucket,
         )
 
@@ -461,16 +467,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         canon = D.exact_dedup(docs).select(
             F.col("canonical_doc").alias("doc_id")
         )
-        q = T.quality_scores(docs).select("doc_id", "n_tokens")
-        rep = T.repetition_scores(docs).select(
-            "doc_id", "top_2gram_frac", "dup_3gram_frac", "max_token_run"
-        )
         contam = D.eval_decontamination(docs).select("doc_id")
+        rep = repetition_columns()
         return (
-            docs.select("doc_id", "lang")
+            docs.select(
+                "doc_id",
+                "lang",
+                F.size(F.split("text", " ")).alias("n_tokens"),
+                rep["top_2gram_frac"].alias("top_2gram_frac"),
+                rep["dup_3gram_frac"].alias("dup_3gram_frac"),
+                rep["max_token_run"].alias("max_token_run"),
+            )
             .join(canon, ["doc_id"], "left_semi")
-            .join(q, ["doc_id"])
-            .join(rep, ["doc_id"])
             .join(contam, ["doc_id"], "left_anti")
             .filter(F.col("doc_id") % 97 != 0)
             .filter(

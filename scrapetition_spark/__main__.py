@@ -70,7 +70,11 @@ def main(argv: list[str] | None = None) -> int:
     # state (the reference rejects nothing here — SQLite would simply
     # break later; we surface it at parse time).
     sink_names = [args.items_table, args.users_table, args.voting_table]
-    reserved = {"urls", "urls_seen", "url_edges", "bloom_sidecar"}
+    reserved = {
+        "urls", "urls_seen", "url_edges", "bloom_sidecar",
+        # engine-owned item/metric tables the overrides must not shadow
+        "articles", "crawl_metrics", "crawl_metrics_buckets",
+    }
     if len(set(sink_names)) != len(sink_names):
         p.error(f"sink table names must be distinct, got {sink_names}")
     clash = sorted(set(sink_names) & reserved)

@@ -194,11 +194,11 @@ class CrawlEngine:
         exactly one bucket."""
         if not self.cat.prunable_buckets("urls_seen", self._seen_bucket_spec()):
             return self.cat.read("urls_seen", URLS_SEEN)
-        cfg = self.cfg
-        active = urls.filter(
-            (F.col("in_frontier") == 1)
-            & (F.lit(cfg.visit_again) | F.col("first_seen").isNull())
-        )
+        from scrapetition_spark.plans.frontier import candidate_predicate
+
+        # MUST be plan_due's own predicate (shared helper): the bucket
+        # cover is only sound for exactly the candidate set it joins
+        active = urls.filter(candidate_predicate(self.cfg))
         buckets = sorted(
             r["host_bucket"]
             for r in active.select("host_bucket").distinct().collect()
@@ -284,7 +284,11 @@ class CrawlEngine:
         ``cfg.broadcast_max_rows``; above it the join goes through the
         shuffle planner (AQE still broadcasts when cheap). One
         definition so the epoch joins and the urls-rewrite joins can
-        never diverge in broadcast policy."""
+        never diverge in broadcast policy. ``broadcast_max_rows=0``
+        disables EVERY hint (the A/B knob) — including on empty
+        frames, which ``<=`` alone would still hint."""
+        if self.cfg.broadcast_max_rows <= 0:
+            return df
         return F.broadcast(df) if n_rows <= self.cfg.broadcast_max_rows else df
 
     # ------------------------------------------------------------------ epoch

@@ -315,6 +315,8 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
     per round is the progress guard; ``localCheckpoint`` cuts lineage
     so plans stay O(1) deep (same discipline as
     operators/threads.py:_propagate_iterative)."""
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

@@ -76,6 +76,16 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     all JVM-side expression evaluation — no Python, no explode, no
     window sort. Docs shorter than the n-gram width get NULL for
     that feature (documented; the synthetic corpus has none)."""
+    cols = repetition_columns()
+    return docs.select("doc_id", *(c.alias(n) for n, c in cols.items()))
+
+
+def repetition_columns() -> dict[str, F.Column]:
+    """The repetition features as raw named Columns over ``text`` —
+    the single definition shared by ``repetition_scores`` and fused
+    pipelines (``p2_full_pipeline`` computes them inline on its base
+    scan instead of joining the operator's output back on doc_id,
+    which Catalyst cannot fuse across a self-join)."""
     toks = F.split("text", " ")
     n = F.size(toks)
 
@@ -114,21 +124,20 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     n2 = F.size(g2)
     n3 = F.size(g3)
     top2 = max_equal_run(F.array_sort(g2))
-    return docs.select(
-        "doc_id",
-        F.when(n2 > 0, n2.cast("long")).alias("n_2grams"),
-        F.when(n2 > 0, top2).alias("top_2gram_cnt"),
-        F.when(n2 > 0, F.round(top2 / n2.cast("double"), 4)).alias(
-            "top_2gram_frac"
+    return {
+        "n_2grams": F.when(n2 > 0, n2.cast("long")),
+        "top_2gram_cnt": F.when(n2 > 0, top2),
+        "top_2gram_frac": F.when(
+            n2 > 0, F.round(top2 / n2.cast("double"), 4)
         ),
-        F.when(
+        "dup_3gram_frac": F.when(
             n3 > 0,
             F.round(
                 1.0 - F.size(F.array_distinct(g3)) / n3.cast("double"), 4
             ),
-        ).alias("dup_3gram_frac"),
-        max_equal_run(toks).alias("max_token_run"),
-    )
+        ),
+        "max_token_run": max_equal_run(toks),
+    }
 
 
 # PII regexes — identical Java-regex / RE2 semantics (character

@@ -56,6 +56,22 @@ def order_key(cfg: CrawlConfig) -> list[Column]:
     return [F.col(c).asc() for c in LINEAGE_COLS] + [F.col("url").asc()]
 
 
+def candidate_predicate(cfg: CrawlConfig) -> F.Column:
+    """The frontier-candidate predicate — the SINGLE definition shared
+    by ``plan_due`` and the bucket-pruned seen read
+    (``CrawlEngine._read_seen_pruned``). The pruning soundness proof
+    requires the pruned bucket set to cover every URL this predicate
+    admits; keeping two copies would let a one-line edit here silently
+    under-cover the anti-join and refetch seen URLs.
+
+    visit_again (-a, Main.hs:89-91): previously-fetched rows
+    (first_seen set) are due again — only the run-local seen set
+    (the caller filters ``seen`` to this run's epochs) dedups."""
+    return (F.col("in_frontier") == 1) & (
+        F.lit(cfg.visit_again) | F.col("first_seen").isNull()
+    )
+
+
 def plan_due(
     urls: DataFrame,
     seen: DataFrame,
@@ -67,13 +83,7 @@ def plan_due(
     """The epoch due set: unseen frontier rows, robots-filtered,
     politeness-budgeted per host, globally capped, with assigned
     ``fetch_seq`` continuing the global fetch counter."""
-    # visit_again (-a, Main.hs:89-91): previously-fetched rows
-    # (first_seen set) are due again — only the run-local seen set
-    # (the caller filters ``seen`` to this run's epochs) dedups.
-    active = urls.filter(
-        (F.col("in_frontier") == 1)
-        & (F.lit(cfg.visit_again) | F.col("first_seen").isNull())
-    )
+    active = urls.filter(candidate_predicate(cfg))
     cand = unseen(active, seen, bloom)
 
     if robots is not None and cfg.respect_robots:

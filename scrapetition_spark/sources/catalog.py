@@ -534,19 +534,23 @@ class Catalog:
             # thousands of epochs converts once max_plain_dirs is
             # hit instead of accumulating O(epochs) dirs.
             return plain_merge()
+        spec_pending = False
         if bucket_spec is not None:
             # bucket layout is only valid under the bucket count it
             # was written with: reopening with a different spec would
             # prune the anti-join to the WRONG buckets and re-insert
             # existing keys. On mismatch, consolidate once under the
-            # live spec (same contract as the urls commit spec).
+            # live spec (same contract as the urls commit spec). The
+            # meta write is DEFERRED to the end of this call: a crash
+            # between "spec recorded" and "layout rewritten" would
+            # otherwise leave prunable_buckets approving an old-spec
+            # layout — meta must only ever claim a spec the committed
+            # layout actually has (the safe failure is re-detecting
+            # the mismatch and re-consolidating).
             stored = self.get_meta(table).get("bucket_spec")
             if self.exists(table) and stored != bucket_spec:
                 has_plain = True
-            if stored != bucket_spec:
-                self.set_meta(
-                    table, {**self.get_meta(table), "bucket_spec": bucket_spec}
-                )
+            spec_pending = stored != bucket_spec
         if has_plain:
             # legacy plain files hold rows of unknown buckets: one
             # consolidating rewrite converts the table to bucketed
@@ -565,7 +569,12 @@ class Catalog:
         cond = [batch[k].eqNullSafe(existing[k]) for k in keys]
         fresh = batch.join(existing, cond, "left_anti").drop("__mb")
         sid = self.append_partitions(table, fresh, bucket_expr)
-        return self.compact_buckets(table) or sid
+        sid = self.compact_buckets(table) or sid
+        if spec_pending:
+            self.set_meta(
+                table, {**self.get_meta(table), "bucket_spec": bucket_spec}
+            )
+        return sid
 
     def append_bucketed(
         self,
@@ -617,8 +626,11 @@ class Catalog:
             and n_plain_dirs <= self.max_plain_dirs
         ):
             return self.append(table, df)
-        if stored != bucket_spec:
-            self.set_meta(table, {**self.get_meta(table), "bucket_spec": bucket_spec})
+        # the spec meta is written AFTER the layout it describes is
+        # committed (see merge_insert): a crash in between must leave
+        # the old meta so the mismatch is re-detected on resume
+        # instead of pruning old-spec dirs with the new expr.
+        spec_pending = stored != bucket_spec
         if has_plain or spec_mismatch or not already_bucketed:
             # consolidate existing rows + the new batch in one
             # partitioned write (bucket_expr recomputes every row's
@@ -628,9 +640,15 @@ class Catalog:
                 if self.exists(table)
                 else df
             )
-            return self.overwrite_partitions(table, merged, bucket_expr, None)
-        sid = self.append_partitions(table, df, bucket_expr)
-        return self.compact_buckets(table) or sid
+            sid = self.overwrite_partitions(table, merged, bucket_expr, None)
+        else:
+            sid = self.append_partitions(table, df, bucket_expr)
+            sid = self.compact_buckets(table) or sid
+        if spec_pending:
+            self.set_meta(
+                table, {**self.get_meta(table), "bucket_spec": bucket_spec}
+            )
+        return sid
 
     def prunable_buckets(self, table: str, bucket_spec: dict) -> bool:
         """True iff ``read_buckets`` pruning is sound for this table:
@@ -724,21 +742,35 @@ class RenamedCatalog:
     ``--voting-table`` overrides, app/Main.hs:117-131): the engine
     keeps addressing logical names ("comments", "users", "votes");
     the mapping decides where they live. Unmapped names pass
-    through."""
-
-    _NO_TABLE_ARG = {"tables"}
+    through. Only methods whose FIRST parameter is literally named
+    ``table`` are remapped (by signature inspection), and the remap
+    honors keyword-style calls — a blanket first-positional rewrite
+    would silently narrow the Catalog API (``read(table=...)`` would
+    lose its argument; non-table-first helpers would remap garbage)."""
 
     def __init__(self, inner: Catalog, names: dict[str, str]):
         self._inner = inner
         self._names = dict(names)
 
     def __getattr__(self, attr):
+        import inspect
+
         f = getattr(self._inner, attr)
-        if not callable(f) or attr in self._NO_TABLE_ARG:
+        if not callable(f):
+            return f
+        try:
+            params = list(inspect.signature(f).parameters)
+        except (TypeError, ValueError):
+            return f
+        if not params or params[0] != "table":
             return f
         names = self._names
 
-        def wrapped(table, *a, **k):
-            return f(names.get(table, table), *a, **k)
+        def wrapped(*a, **k):
+            if "table" in k:
+                k = {**k, "table": names.get(k["table"], k["table"])}
+            elif a:
+                a = (names.get(a[0], a[0]),) + a[1:]
+            return f(*a, **k)
 
         return wrapped

@@ -172,3 +172,10 @@ def test_cli_rejects_colliding_table_names():
     # shadows a reserved crawl-state table
     with pytest.raises(SystemExit):
         main(base + ["--voting-table", "urls_seen"])
+    # shadows engine-owned item/metric tables (review finding: the
+    # first reserved set missed these — --items-table crawl_metrics
+    # would interleave incompatible schemas into crawl state)
+    with pytest.raises(SystemExit):
+        main(base + ["--items-table", "crawl_metrics"])
+    with pytest.raises(SystemExit):
+        main(base + ["--users-table", "articles"])

@@ -350,3 +350,119 @@ def test_per_bucket_metrics(spark):
         assert disc == per_epoch[ep]["urls_discovered"]
         # snapshot-keyed: every bucket row carries the epoch's snapshot
         assert all(r["snapshot_id"] == per_epoch[ep]["snapshot_id"] for r in rows)
+
+
+def test_broadcast_hint_fully_disabled_at_zero(spark):
+    """broadcast_max_rows=0 is the documented 'no hints' A/B knob: it
+    must not hint even a 0-row frame (0 <= 0 would)."""
+    from types import SimpleNamespace
+
+    from scrapetition_spark.config import CrawlConfig
+    from scrapetition_spark.crawl import CrawlEngine
+
+    df = spark.range(0).toDF("x")
+    off = SimpleNamespace(cfg=CrawlConfig(start_domain="", broadcast_max_rows=0))
+    assert CrawlEngine._hint(off, df, 0) is df
+    on = SimpleNamespace(cfg=CrawlConfig(start_domain="", broadcast_max_rows=10))
+    assert CrawlEngine._hint(on, df, 0) is not df
+
+
+def test_renamed_catalog_keyword_and_non_table_methods(spark, tmp_path):
+    """The renaming proxy honors keyword-style calls and leaves
+    non-table-first methods untouched (review finding: a blanket
+    first-positional rewrite broke both)."""
+    from pyspark.sql import functions as F
+
+    from scrapetition_spark.sources.catalog import Catalog, RenamedCatalog
+
+    inner = Catalog(spark, str(tmp_path / "cat"))
+    cat = RenamedCatalog(inner, {"comments": "phys_comments"})
+    df = spark.range(3).select(F.col("id").alias("k"))
+    cat.append(table="comments", df=df)          # keyword-style call
+    assert inner.exists("phys_comments")
+    assert cat.read(table="comments", schema=df.schema).count() == 3
+    assert not inner.exists("comments")
+    # non-table-first methods pass through unwrapped
+    assert set(cat.tables()) == {"phys_comments"}
+
+
+def test_bucket_spec_meta_survives_crashed_consolidation(spark, tmp_path):
+    """Crash-window regression (review finding): the bucket_spec meta
+    must be written AFTER the consolidating rewrite commits. If the
+    rewrite dies, the old spec must still be stored so resume
+    re-detects the mismatch instead of pruning old-spec dirs with the
+    new expr (silently refetching seen URLs)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from scrapetition_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    df = spark.range(50).select(F.col("id").cast("string").alias("url"))
+    spec_a = {"n_host_buckets": 4}
+    expr_a = F.abs(F.hash("url")) % 4
+    # force the bucketed layout from birth
+    cat.append_bucketed("seen", df, expr_a, spec_a, bucket_min_bytes=0)
+    assert cat.get_meta("seen").get("bucket_spec") == spec_a
+    assert cat.prunable_buckets("seen", spec_a)
+
+    # reopen under a CHANGED spec and crash the consolidating rewrite
+    spec_b = {"n_host_buckets": 8}
+    expr_b = F.abs(F.hash("url")) % 8
+    boom = RuntimeError("simulated crash mid-rewrite")
+    real = cat.overwrite_partitions
+
+    def dying(*a, **k):
+        raise boom
+
+    cat.overwrite_partitions = dying
+    df2 = spark.range(50, 60).select(F.col("id").cast("string").alias("url"))
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        cat.append_bucketed("seen", df2, expr_b, spec_b, bucket_min_bytes=0)
+    cat.overwrite_partitions = real
+    # the meta still claims the OLD spec — pruning under the new spec
+    # stays disabled, so nothing reads wrong buckets
+    assert cat.get_meta("seen").get("bucket_spec") == spec_a
+    assert not cat.prunable_buckets("seen", spec_b)
+    # retry converges: consolidation under spec_b, meta follows
+    cat.append_bucketed("seen", df2, expr_b, spec_b, bucket_min_bytes=0)
+    assert cat.get_meta("seen").get("bucket_spec") == spec_b
+    assert cat.prunable_buckets("seen", spec_b)
+    assert cat.read("seen", df.schema).count() == 60
+
+
+def test_merge_insert_spec_meta_survives_crashed_consolidation(spark, tmp_path):
+    """Same crash-window contract for the MERGE path: spec meta
+    follows the consolidating rewrite, never precedes it."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from scrapetition_spark.schemas import StructType  # noqa: F401
+    from scrapetition_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    df = spark.range(50).select(F.col("id").cast("string").alias("url"))
+    spec_a, expr_a = {"n": 4}, F.abs(F.hash("url")) % 4
+    spec_b, expr_b = {"n": 8}, F.abs(F.hash("url")) % 8
+    cat.merge_insert("items", df, ["url"], df.schema,
+                     bucket_expr=expr_a, bucket_spec=spec_a,
+                     bucket_min_bytes=0)
+    assert cat.get_meta("items").get("bucket_spec") == spec_a
+
+    real = cat.overwrite_partitions
+    cat.overwrite_partitions = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash mid-rewrite")
+    )
+    df2 = spark.range(40, 60).select(F.col("id").cast("string").alias("url"))
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        cat.merge_insert("items", df2, ["url"], df.schema,
+                         bucket_expr=expr_b, bucket_spec=spec_b,
+                         bucket_min_bytes=0)
+    cat.overwrite_partitions = real
+    assert cat.get_meta("items").get("bucket_spec") == spec_a
+    cat.merge_insert("items", df2, ["url"], df.schema,
+                     bucket_expr=expr_b, bucket_spec=spec_b,
+                     bucket_min_bytes=0)
+    assert cat.get_meta("items").get("bucket_spec") == spec_b
+    # MERGE semantics intact across the crash + retry: 60 distinct keys
+    assert cat.read("items", df.schema).count() == 60
