@@ -422,6 +422,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def d7(spark, sf):
         return D.eval_decontamination(_t(spark, sf, "documents"))
 
+    def d8(spark, sf):
+        """Exact substring dedup over non-overlapping 4-token windows
+        (Lee et al. 2022 shape): per-doc duplicated-segment counts."""
+        return D.exact_segment_dedup(_t(spark, sf, "documents"), k=4)
+
+    def d9(spark, sf):
+        """Incremental-ingest dedup: the deterministic batch stratum
+        (doc_id % 10 == 7) probes the rest of the corpus's MinHash
+        band-bucket index; candidates are exact-Jaccard verified."""
+        docs = _t(spark, sf, "documents")
+        return D.incremental_minhash_dedup(
+            docs.filter(F.col("doc_id") % 10 != 7),
+            docs.filter(F.col("doc_id") % 10 == 7),
+        )
+
+    def t9(spark, sf):
+        """Training-mix rebalance: per-language token shares vs the
+        target mix, with the keep-rate / repeat-count directives."""
+        return T.mix_weights(_t(spark, sf, "documents"))
+
     def p1(spark, sf):
         """The composed training-data cleaning pipeline a 100 TB
         corpus runs end-to-end: exact-dedup survivors ∩ quality gate
@@ -623,6 +643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5b_lsh_recall": d5b,
         "d6_neardup_clusters": d6,
         "d7_decontamination": d7,
+        "d8_segment_dedup": d8,
+        "d9_incremental_minhash": d9,
+        "t9_mix_weights": t9,
         "s2b_ann_recall": s2b,
         "s3b_ann_recall": s3b,
         "m1_media_metadata": m1,
@@ -1448,6 +1471,93 @@ def oracle_sql() -> dict[str, str]:
                    round(n_hit_ngrams / CAST(n_ngrams AS DOUBLE), 4)
                      AS contam_frac
             FROM hit h JOIN tot t ON h.doc_id = t.doc_id
+        """,
+        "d8_segment_dedup": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents),
+            segs AS (
+              SELECT doc_id, (pos - 1) // 4 AS seg_idx,
+                     string_agg(tok, ' ' ORDER BY pos) AS seg
+              FROM toks GROUP BY doc_id, (pos - 1) // 4
+              HAVING count(*) = 4),
+            h AS (
+              SELECT doc_id, md5(seg) AS hash,
+                     doc_id * 1048576 + seg_idx AS occ_key
+              FROM segs),
+            m AS (SELECT hash, min(occ_key) AS min_key FROM h GROUP BY hash)
+            SELECT doc_id, count(*) AS n_segments,
+                   CAST(sum(CASE WHEN occ_key <> min_key THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_segments,
+                   round(CAST(sum(CASE WHEN occ_key <> min_key
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 4) AS dup_frac
+            FROM h JOIN m USING (hash)
+            GROUP BY doc_id
+        """,
+        "d9_incremental_minhash": f"""
+            WITH {_SHINGLES3.strip()},
+            buckets AS (
+              SELECT doc_id, b.band,
+                     min(md5(CAST(b.band AS VARCHAR) || '|' || shingle)) AS bucket
+              FROM sh2, (SELECT unnest(range(4)) AS band) b
+              GROUP BY doc_id, b.band),
+            cands AS (
+              SELECT p.doc_id AS new_doc, i.doc_id AS corpus_doc,
+                     count(*) AS n_bands
+              FROM buckets p JOIN buckets i
+                ON p.band = i.band AND p.bucket = i.bucket
+              WHERE p.doc_id % 10 = 7 AND i.doc_id % 10 <> 7
+              GROUP BY p.doc_id, i.doc_id),
+            sets AS (
+              SELECT doc_id, list(DISTINCT shingle) AS sh_set
+              FROM sh2 GROUP BY doc_id)
+            SELECT new_doc, corpus_doc, n_bands, jaccard,
+                   jaccard >= 0.02 AS is_dup
+            FROM (
+              SELECT c.new_doc, c.corpus_doc, c.n_bands,
+                     round(CAST(len(list_intersect(sn.sh_set, sc.sh_set))
+                                AS DOUBLE) /
+                           (len(sn.sh_set) + len(sc.sh_set)
+                            - len(list_intersect(sn.sh_set, sc.sh_set))),
+                           5) AS jaccard
+              FROM cands c
+              JOIN sets sn ON c.new_doc = sn.doc_id
+              JOIN sets sc ON c.corpus_doc = sc.doc_id)
+        """,
+        "t9_mix_weights": """
+            WITH per_lang AS (
+              SELECT lang, count(*) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+              FROM documents GROUP BY lang),
+            tot AS (
+              SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+              FROM per_lang)
+            SELECT lang, n_docs, n_tokens,
+                   round(n_tokens / CAST(total_tokens AS DOUBLE), 6)
+                     AS actual_frac,
+                   round(CASE lang WHEN 'en' THEN 0.40 WHEN 'de' THEN 0.15
+                         WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.15
+                         WHEN 'zh' THEN 0.15 ELSE 0.0 END, 6) AS target_frac,
+                   round((CASE lang WHEN 'en' THEN 0.40 WHEN 'de' THEN 0.15
+                          WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.15
+                          WHEN 'zh' THEN 0.15 ELSE 0.0 END)
+                         / (n_tokens / CAST(total_tokens AS DOUBLE)), 4)
+                     AS weight,
+                   round(least(1.0,
+                         (CASE lang WHEN 'en' THEN 0.40 WHEN 'de' THEN 0.15
+                          WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.15
+                          WHEN 'zh' THEN 0.15 ELSE 0.0 END)
+                         / (n_tokens / CAST(total_tokens AS DOUBLE))), 4)
+                     AS keep_rate,
+                   CAST(ceil((CASE lang WHEN 'en' THEN 0.40 WHEN 'de' THEN 0.15
+                              WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.15
+                              WHEN 'zh' THEN 0.15 ELSE 0.0 END)
+                             / (n_tokens / CAST(total_tokens AS DOUBLE)))
+                        AS BIGINT) AS n_repeats
+            FROM per_lang, tot
         """,
         "s2_ann_lsh": f"""
             WITH {_sketch_tables_cte(8, 8).strip()},

@@ -158,6 +158,150 @@ def lsh_verified_neardups(
     )
 
 
+# occ_key packing for exact_segment_dedup: doc_id * 2^20 + seg_idx.
+# Bounds documented: seg_idx < 2^20 (a 1M-segment doc at k=4 is a
+# 4M-token document — far past any real page), doc_id < 2^43 (8.8e12).
+SEG_KEY_MOD = 1 << 20
+
+
+def exact_segment_dedup(docs: DataFrame, k: int = 4) -> DataFrame:
+    """Exact substring dedup at k-token-segment granularity — the
+    distributed form of Lee et al. 2022's "Deduplicating Training Data
+    Makes Language Models Better" exact-substring pass (C4 and
+    RefinedWeb run the same shape at sentence/line granularity; this
+    corpus has no line structure, so the unit is the non-overlapping
+    k-token window).
+
+    Each doc splits into floor(n_tokens / k) full segments (the
+    trailing partial window is dropped — a sub-k suffix can't equal a
+    full window); an occurrence is a DUPLICATE when the same segment
+    text appears anywhere else in the corpus at a lexicographically
+    smaller (doc_id, seg_idx). Returns per-doc ``(doc_id, n_segments,
+    n_dup_segments, dup_frac)`` — the flag/trim list the cleaning pass
+    applies (docs shorter than k tokens have no full segment and are
+    absent, identically in the oracle).
+
+    Scale shape: segment construction is DOCUMENT-LOCAL array algebra
+    (split → sequence → slice → array_join; no window, no cross-row
+    state), so the corpus streams map-side into (1) ONE hash aggregate
+    on md5(segment) with map-side combine — the canonical occurrence
+    is ``min(doc_id * 2^20 + seg_idx)``, a single-long argmin that
+    needs no struct ordering — and (2) the join back on the same hash
+    (co-partitioned with the aggregate's output, so AQE reuses the
+    exchange), then (3) a per-doc hash agg. Segment hashes are
+    md5-uniform: no skew."""
+    base = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= k
+    )
+    n_seg = F.floor(F.size("toks") / k).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(F.col("toks"), i * k + 1, k), " "),
+    )
+    occ = base.select(
+        "doc_id", F.posexplode(segs).alias("seg_idx", "seg")
+    ).select(
+        "doc_id",
+        F.md5("seg").alias("hash"),
+        (F.col("doc_id") * SEG_KEY_MOD + F.col("seg_idx")).alias("occ_key"),
+    )
+    mins = occ.groupBy("hash").agg(F.min("occ_key").alias("min_key"))
+    return (
+        occ.join(mins, "hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(
+                F.when(F.col("occ_key") != F.col("min_key"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dup_segments"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_dup_segments",
+            F.round(
+                F.col("n_dup_segments") / F.col("n_segments").cast("double"), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    new_batch: DataFrame,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.02,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Dedup an INCOMING batch against an already-indexed corpus — the
+    incremental-ingestion form of MinHash-LSH dedup (a 100 TB corpus
+    is deduped once; every subsequent crawl/ingest batch probes the
+    stored band-bucket index instead of re-deduping the world).
+
+    Returns one row per (new doc, corpus doc) candidate with the band
+    collision count, the exact verified n-gram Jaccard, and
+    ``is_dup = jaccard >= threshold`` — the admit/reject decision plus
+    its evidence.
+
+    Scale shape: the corpus side touches ONLY (1) its band-bucket
+    index (``minhash_buckets`` output — in production a stored table
+    partitioned by (band, bucket), written once at corpus-index time)
+    and (2) the candidate corpus docs (left-semi pruned before
+    shingling, so the exact verify never re-shingles the corpus). The
+    probe side is one ingest batch — bounded by definition — so its
+    bucket frame and the candidate-id frame are broadcast
+    (``broadcast_probe=False`` drops the hints and lets AQE decide,
+    for callers probing with an unusually large batch)."""
+    idx = minhash_buckets(corpus, n_bands, shingle_n)
+    probe = minhash_buckets(new_batch, n_bands, shingle_n)
+    hint = F.broadcast if broadcast_probe else (lambda df: df)
+    cands = (
+        hint(probe).alias("p")
+        .join(
+            idx.alias("i"),
+            (F.col("p.band") == F.col("i.band"))
+            & (F.col("p.bucket") == F.col("i.bucket")),
+        )
+        .groupBy(
+            F.col("p.doc_id").alias("new_doc"),
+            F.col("i.doc_id").alias("corpus_doc"),
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )
+    cand_ids = cands.select(F.col("corpus_doc").alias("doc_id")).distinct()
+    corpus_hit = corpus.join(hint(cand_ids), "doc_id", "left_semi")
+    new_sets = (
+        shingles(new_batch, shingle_n)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("set_n"))
+        .withColumnRenamed("doc_id", "new_doc")
+    )
+    corp_sets = (
+        shingles(corpus_hit, shingle_n)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("set_c"))
+        .withColumnRenamed("doc_id", "corpus_doc")
+    )
+    inter = F.size(F.array_intersect(F.col("set_n"), F.col("set_c")))
+    union = F.size("set_n") + F.size("set_c") - inter
+    return (
+        cands.join(new_sets, "new_doc")
+        .join(corp_sets, "corpus_doc")
+        .select(
+            "new_doc",
+            "corpus_doc",
+            "n_bands",
+            F.round(inter.cast("double") / union, 5).alias("jaccard"),
+            (F.round(inter.cast("double") / union, 5) >= threshold).alias(
+                "is_dup"
+            ),
+        )
+    )
+
+
 SIMHASH_BITS = 64
 
 

@@ -265,6 +265,56 @@ def stratified_sample(
     )
 
 
+# target token proportions per language for the mixing planner — a
+# typical multilingual pretraining mix (dominant language capped, tails
+# upweighted)
+MIX_TARGETS = {"en": 0.40, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+
+
+def mix_weights(
+    docs: DataFrame, targets: dict[str, float] | None = None
+) -> DataFrame:
+    """Training-mix rebalance plan: given target token PROPORTIONS per
+    language/domain stratum, compute each stratum's actual share and
+    the sampling directive that achieves the target — ``weight`` =
+    target share / actual share, ``keep_rate`` = min(1, weight) (the
+    downsample fraction), ``n_repeats`` = ceil(weight) (the epoch
+    repetition count for upsampled strata, the LLaMA-style "seen N
+    times" mixing knob). Strata absent from ``targets`` get weight 0
+    (dropped from the mix).
+
+    Scale shape: ONE map-side-combining hash aggregate over the corpus
+    (per-stratum doc/token totals — a handful of rows), then a
+    crossJoin against the broadcast 1-row grand total; the CASE chain
+    and arithmetic are driver-free column algebra. Nothing here grows
+    with corpus size except the single agg scan."""
+    targets = MIX_TARGETS if targets is None else targets
+    n_tok = F.size(F.split("text", " "))
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+    )
+    total = per_lang.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    tgt = F.lit(0.0)
+    for lang, share in sorted(targets.items()):
+        tgt = F.when(F.col("lang") == lang, F.lit(float(share))).otherwise(tgt)
+    actual = F.col("n_tokens") / F.col("total_tokens").cast("double")
+    weight = tgt / actual
+    return (
+        per_lang.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(actual, 6).alias("actual_frac"),
+            F.round(tgt, 6).alias("target_frac"),
+            F.round(weight, 4).alias("weight"),
+            F.round(F.least(F.lit(1.0), weight), 4).alias("keep_rate"),
+            F.ceil(weight).cast("long").alias("n_repeats"),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame, seq_len: int = 512, n_streams: int = 8
 ) -> DataFrame:

@@ -582,3 +582,79 @@ def test_repetition_scores_plan_is_shuffle_free(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_exact_segment_dedup_planted(spark, docs):
+    """Hand-computable segment dedup: a later doc repeating an earlier
+    doc's full 4-token window is flagged; partial trailing windows and
+    sub-k docs are dropped (identically to the oracle)."""
+    from scrapetition_spark.operators.dedup import exact_segment_dedup
+
+    planted = spark.createDataFrame(
+        [
+            (9301, "qa qb qc qd qe qf qg qh", "en", "x", 23),
+            # 9 tokens: segments "qz qz qz qz" and "qe qf qg qh" (dup
+            # of 9301's second segment); trailing "qx" dropped
+            (9302, "qz qz qz qz qe qf qg qh qx", "en", "x", 26),
+            (9303, "qp qq qr", "en", "x", 8),  # < 4 tokens: absent
+        ],
+        docs.schema,
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_segment_dedup(planted, k=4).collect()
+    }
+    assert set(out) == {9301, 9302}
+    assert out[9301]["n_segments"] == 2 and out[9301]["n_dup_segments"] == 0
+    assert out[9302]["n_segments"] == 2 and out[9302]["n_dup_segments"] == 1
+    assert out[9302]["dup_frac"] == 0.5
+
+
+def test_incremental_minhash_planted(spark, docs):
+    """An incoming doc identical to a corpus doc collides in every
+    band and verifies at jaccard 1.0; a disjoint-vocab doc produces no
+    candidate at all (its shingle minima cannot equal any corpus
+    bucket)."""
+    from scrapetition_spark.operators.dedup import incremental_minhash_dedup
+
+    corpus = spark.createDataFrame(
+        [(9401, "ia ib ic id ie if ig ih ii ij", "en", "x", 29),
+         (9402, "ja jb jc jd je jf jg jh ji jj", "en", "x", 29)],
+        docs.schema,
+    )
+    new = spark.createDataFrame(
+        [(9901, "ia ib ic id ie if ig ih ii ij", "en", "x", 29),
+         (9902, "ka kb kc kd ke kf kg kh ki kj", "en", "x", 29)],
+        docs.schema,
+    )
+    rows = incremental_minhash_dedup(corpus, new).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["new_doc"] == 9901 and r["corpus_doc"] == 9401
+    assert r["n_bands"] == 4 and r["jaccard"] == 1.0 and r["is_dup"]
+
+
+def test_mix_weights_hand_computed(spark, docs):
+    """weight = target share / actual token share; keep_rate caps at
+    1; n_repeats = ceil(weight); absent strata get weight 0."""
+    from scrapetition_spark.operators.text import mix_weights
+
+    planted = spark.createDataFrame(
+        [(1, "a b c d e f", "en", "x", 11),     # 6 tokens
+         (2, "g h", "de", "x", 3),              # 2 tokens
+         (3, "i j", "xx", "x", 3),              # 2 tokens, not in mix
+         (4, "k", "zh", "x", 1)],               # 1 token (upsampled)
+        docs.schema,
+    )
+    out = {r["lang"]: r for r in mix_weights(planted).collect()}
+    # totals: 11 tokens; en 6/11 actual vs 0.40 target -> 0.7333
+    assert out["en"]["actual_frac"] == 0.545455
+    assert out["en"]["weight"] == 0.7333
+    assert out["en"]["keep_rate"] == 0.7333 and out["en"]["n_repeats"] == 1
+    # de: 2/11 actual vs 0.15 -> 0.825 (downsample)
+    assert out["de"]["weight"] == 0.825 and out["de"]["n_repeats"] == 1
+    # zh: 1/11 actual vs 0.15 -> 1.65: keep everything, repeat 2x
+    assert out["zh"]["weight"] == 1.65
+    assert out["zh"]["keep_rate"] == 1.0 and out["zh"]["n_repeats"] == 2
+    # xx: not in targets -> dropped from the mix
+    assert out["xx"]["weight"] == 0.0 and out["xx"]["keep_rate"] == 0.0
