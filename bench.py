@@ -103,10 +103,12 @@ def main() -> None:
         "d3_ngram_jaccard",
         "s1_cosine_topk",
         "t3_fingerprints",
-        # round-4 additions: the heaviest new text op and the fully
-        # composed cleaning pipeline
+        # round-4 additions: the heaviest new text op, the fully
+        # composed cleaning pipeline, and the corpus-wide exact
+        # substring dedup
         "t5_repetition_scores",
         "p2_full_pipeline",
+        "d8_segment_dedup",
     ]
     qs = E.queries()
     times: dict[str, float] = {}
