@@ -235,11 +235,16 @@ def incremental_minhash_dedup(
     shingle_n: int = 3,
     threshold: float = 0.02,
     broadcast_probe: bool = True,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup an INCOMING batch against an already-indexed corpus — the
     incremental-ingestion form of MinHash-LSH dedup (a 100 TB corpus
     is deduped once; every subsequent crawl/ingest batch probes the
     stored band-bucket index instead of re-deduping the world).
+    ``corpus_index`` injects that stored index (the
+    ``minhash_buckets`` output, persisted at corpus-index time) so
+    repeated probes — the streaming ingest gate, a poll loop — never
+    recompute it; when omitted it is derived from ``corpus`` inline.
 
     Returns one row per (new doc, corpus doc) candidate with the band
     collision count, the exact verified n-gram Jaccard, and
@@ -255,7 +260,11 @@ def incremental_minhash_dedup(
     bucket frame and the candidate-id frame are broadcast
     (``broadcast_probe=False`` drops the hints and lets AQE decide,
     for callers probing with an unusually large batch)."""
-    idx = minhash_buckets(corpus, n_bands, shingle_n)
+    idx = (
+        corpus_index
+        if corpus_index is not None
+        else minhash_buckets(corpus, n_bands, shingle_n)
+    )
     probe = minhash_buckets(new_batch, n_bands, shingle_n)
     hint = F.broadcast if broadcast_probe else (lambda df: df)
     cands = (

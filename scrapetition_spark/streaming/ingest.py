@@ -19,6 +19,11 @@ expresses that path with Structured Streaming:
 - ``stream_seen_counts``: windowed per-host fetch counts with
   watermarked late-data handling — the live-metrics view of
   ``crawl_metrics``.
+- ``stream_ingest_dedup``: the continuous-ingest near-dup gate —
+  each micro-batch of incoming DOCUMENTS probes the corpus's stored
+  MinHash band-bucket index (operators/dedup.incremental_minhash_dedup)
+  and emits admit/reject decisions via ``foreachBatch``; the index is
+  computed once at stream start, never per batch.
 
 Tested with the ``availableNow`` trigger (bounded drain) in
 tests/test_streaming.py — the same code runs unbounded in production.
@@ -132,6 +137,69 @@ def stream_politeness_admit(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DOC_STREAM = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("event_time", TimestampType()),
+    ]
+)
+
+
+def stream_ingest_dedup(
+    spark: SparkSession,
+    drop_dir: str,
+    corpus: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.02,
+    available_now: bool = False,
+):
+    """Continuous-ingest dedup gate: incoming documents land as
+    parquet files in ``drop_dir``; every micro-batch is probed against
+    the corpus's MinHash band-bucket index and ``sink(decisions,
+    batch_id)`` receives the ``(new_doc, corpus_doc, n_bands, jaccard,
+    is_dup)`` admit/reject rows (the streaming twin of the batch
+    ``d9`` operator — same code path, so batch and stream decisions
+    are identical for the same batch content).
+
+    Scale shape: the corpus index is materialized ONCE at stream
+    start (``localCheckpoint`` here; in production a stored table
+    partitioned by (band, bucket)) — per micro-batch work is the
+    batch-sized probe + candidate-only verify from
+    ``incremental_minhash_dedup``, independent of corpus size. The
+    decision stream is idempotent per batch content, so checkpoint
+    replays re-emit, never corrupt."""
+    from scrapetition_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_buckets,
+    )
+
+    idx = minhash_buckets(corpus, n_bands, shingle_n).localCheckpoint()
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        decisions = incremental_minhash_dedup(
+            corpus,
+            batch_df.select("doc_id", "text", "lang"),
+            n_bands=n_bands,
+            shingle_n=shingle_n,
+            threshold=threshold,
+            corpus_index=idx,
+        )
+        sink(decisions, batch_id)
+
+    stream = spark.readStream.schema(DOC_STREAM).parquet(drop_dir)
+    writer = stream.writeStream.foreachBatch(probe).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_seen_counts(

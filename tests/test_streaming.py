@@ -154,3 +154,67 @@ def test_stream_politeness_admit_budget_across_batches(spark):
     # order is preserved in both drains
     one = _run_admit(spark, drop, budget=5, max_files=None)
     assert one == got
+
+
+def test_stream_ingest_dedup_gate(spark):
+    """Continuous-ingest near-dup gate: two drop files drained
+    file-at-a-time produce the SAME decision set as one combined
+    batch, and the decisions match the batch d9 operator exactly
+    (same code path)."""
+    from scrapetition_spark.operators.dedup import incremental_minhash_dedup
+    from scrapetition_spark.streaming.ingest import (
+        DOC_STREAM,
+        stream_ingest_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "sa sb sc sd se sf sg sh si sj", "en"),
+         (2, "ta tb tc td te tf tg th ti tj", "en")],
+        "doc_id long, text string, lang string",
+    )
+    incoming = [
+        (101, "sa sb sc sd se sf sg sh si sj", "en", T0),  # dup of 1
+        (102, "ua ub uc ud ue uf ug uh ui uj", "en", T0),  # clean
+        (103, "ta tb tc td te tf tg th ti tj", "en", T0),  # dup of 2
+    ]
+
+    def run(drop_files):
+        drop = tempfile.mkdtemp(prefix="ddg-drop-")
+        ckpt = tempfile.mkdtemp(prefix="ddg-ckpt-")
+        seen: list[tuple] = []
+
+        def sink(decisions, batch_id):
+            seen.extend(
+                (r["new_doc"], r["corpus_doc"], r["n_bands"],
+                 r["jaccard"], r["is_dup"])
+                for r in decisions.collect()
+            )
+
+        for chunk in drop_files:
+            spark.createDataFrame(chunk, DOC_STREAM).coalesce(1).write.mode(
+                "append"
+            ).parquet(drop)
+            q = stream_ingest_dedup(
+                spark, drop, corpus, sink, ckpt, available_now=True
+            )
+            q.awaitTermination(120)
+        return sorted(seen)
+
+    one_batch = run([incoming])
+    file_at_a_time = run([incoming[:1], incoming[1:]])
+    assert one_batch == file_at_a_time
+    # decisions equal the batch operator's output on the same content
+    batch_rows = sorted(
+        (r["new_doc"], r["corpus_doc"], r["n_bands"], r["jaccard"], r["is_dup"])
+        for r in incremental_minhash_dedup(
+            corpus,
+            spark.createDataFrame(
+                [(d, t, la) for d, t, la, _ in incoming],
+                "doc_id long, text string, lang string",
+            ),
+        ).collect()
+    )
+    assert one_batch == batch_rows
+    assert [(n, c, d) for n, c, _, _, d in one_batch] == [
+        (101, 1, True), (103, 2, True)
+    ]
