@@ -1482,16 +1482,18 @@ def oracle_sql() -> dict[str, str]:
                      string_agg(tok, ' ' ORDER BY pos) AS seg
               FROM toks GROUP BY doc_id, (pos - 1) // 4
               HAVING count(*) = 4),
-            h AS (
-              SELECT doc_id, md5(seg) AS hash,
-                     doc_id * 1048576 + seg_idx AS occ_key
-              FROM segs),
-            m AS (SELECT hash, min(occ_key) AS min_key FROM h GROUP BY hash)
+            h AS (SELECT doc_id, seg_idx, md5(seg) AS hash FROM segs),
+            m AS (
+              SELECT hash,
+                     min({'doc_id': doc_id, 'seg_idx': seg_idx}) AS min_occ
+              FROM h GROUP BY hash)
             SELECT doc_id, count(*) AS n_segments,
-                   CAST(sum(CASE WHEN occ_key <> min_key THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_dup_segments,
-                   round(CAST(sum(CASE WHEN occ_key <> min_key
-                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                   CAST(sum(CASE WHEN doc_id <> min_occ.doc_id
+                                   OR seg_idx <> min_occ.seg_idx
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+                   round(CAST(sum(CASE WHEN doc_id <> min_occ.doc_id
+                                         OR seg_idx <> min_occ.seg_idx
+                                  THEN 1 ELSE 0 END) AS DOUBLE)
                          / count(*), 4) AS dup_frac
             FROM h JOIN m USING (hash)
             GROUP BY doc_id

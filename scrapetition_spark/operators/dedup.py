@@ -108,11 +108,6 @@ def ngram_jaccard_pairs(
         .agg(F.collect_set("shingle").alias("sh_set"))
     )
     a, b = sets.alias("a"), sets.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh_set"), F.col("b.sh_set")))
-    union = (
-        F.size(F.col("a.sh_set")) + F.size(F.col("b.sh_set")) - inter
-    )
-    jac = inter.cast("double") / union
     return (
         a.join(
             b,
@@ -122,7 +117,9 @@ def ngram_jaccard_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 5).alias("jaccard"),
+            jaccard_expr(F.col("a.sh_set"), F.col("b.sh_set")).alias(
+                "jaccard"
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -146,22 +143,29 @@ def lsh_verified_neardups(
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
     joined = cands.join(a, ["doc_a"]).join(b, ["doc_b"])
-    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
-    union = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
     return (
         joined.select(
             "doc_a",
             "doc_b",
-            F.round(inter.cast("double") / union, 5).alias("jaccard"),
+            jaccard_expr(F.col("set_a"), F.col("set_b")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
 
 
-# occ_key packing for exact_segment_dedup: doc_id * 2^20 + seg_idx.
-# Bounds documented: seg_idx < 2^20 (a 1M-segment doc at k=4 is a
-# 4M-token document — far past any real page), doc_id < 2^43 (8.8e12).
-SEG_KEY_MOD = 1 << 20
+def jaccard_expr(
+    set_a: F.Column, set_b: F.Column, round_to: int = 5
+) -> F.Column:
+    """``round(|a∩b| / (|a|+|b|-|a∩b|), round_to)`` — the single
+    definition of the verify-stage set Jaccard shared by every dedup
+    verifier in this module (the DuckDB oracle twins mirror it
+    verbatim; changing precision or formula here is the one place to
+    keep them in lockstep)."""
+    inter = F.size(F.array_intersect(set_a, set_b))
+    return F.round(
+        inter.cast("double") / (F.size(set_a) + F.size(set_b) - inter),
+        round_to,
+    )
 
 
 def exact_segment_dedup(docs: DataFrame, k: int = 4) -> DataFrame:
@@ -185,11 +189,13 @@ def exact_segment_dedup(docs: DataFrame, k: int = 4) -> DataFrame:
     (split → sequence → slice → array_join; no window, no cross-row
     state), so the corpus streams map-side into (1) ONE hash aggregate
     on md5(segment) with map-side combine — the canonical occurrence
-    is ``min(doc_id * 2^20 + seg_idx)``, a single-long argmin that
-    needs no struct ordering — and (2) the join back on the same hash
-    (co-partitioned with the aggregate's output, so AQE reuses the
-    exchange), then (3) a per-doc hash agg. Segment hashes are
-    md5-uniform: no skew."""
+    is ``min(struct(doc_id, seg_idx))``, a lexicographic struct argmin
+    with NO packing bound (a long-packed key would bleed across doc_id
+    boundaries past 2^20 segments; struct min is exact at any doc
+    length and DuckDB computes the identical ``min({...})``) — and
+    (2) the join back on the same hash (co-partitioned with the
+    aggregate's output, so AQE reuses the exchange), then (3) a
+    per-doc hash agg. Segment hashes are md5-uniform: no skew."""
     base = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
         F.size("toks") >= k
     )
@@ -200,20 +206,19 @@ def exact_segment_dedup(docs: DataFrame, k: int = 4) -> DataFrame:
     )
     occ = base.select(
         "doc_id", F.posexplode(segs).alias("seg_idx", "seg")
-    ).select(
-        "doc_id",
-        F.md5("seg").alias("hash"),
-        (F.col("doc_id") * SEG_KEY_MOD + F.col("seg_idx")).alias("occ_key"),
+    ).select("doc_id", "seg_idx", F.md5("seg").alias("hash"))
+    mins = occ.groupBy("hash").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("min_occ")
     )
-    mins = occ.groupBy("hash").agg(F.min("occ_key").alias("min_key"))
+    is_dup = (F.col("doc_id") != F.col("min_occ.doc_id")) | (
+        F.col("seg_idx") != F.col("min_occ.seg_idx")
+    )
     return (
         occ.join(mins, "hash")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_segments"),
-            F.sum(
-                F.when(F.col("occ_key") != F.col("min_key"), 1).otherwise(0)
-            )
+            F.sum(F.when(is_dup, 1).otherwise(0))
             .cast("long")
             .alias("n_dup_segments"),
         )
@@ -282,8 +287,13 @@ def incremental_minhash_dedup(
     )
     cand_ids = cands.select(F.col("corpus_doc").alias("doc_id")).distinct()
     corpus_hit = corpus.join(hint(cand_ids), "doc_id", "left_semi")
+    # prune the probe side too: only candidate NEW docs need shingle
+    # sets (symmetric with corpus_hit — a mostly-novel batch verifies
+    # almost nothing)
+    new_ids = cands.select(F.col("new_doc").alias("doc_id")).distinct()
+    new_hit = new_batch.join(hint(new_ids), "doc_id", "left_semi")
     new_sets = (
-        shingles(new_batch, shingle_n)
+        shingles(new_hit, shingle_n)
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("set_n"))
         .withColumnRenamed("doc_id", "new_doc")
@@ -294,8 +304,7 @@ def incremental_minhash_dedup(
         .agg(F.collect_set("shingle").alias("set_c"))
         .withColumnRenamed("doc_id", "corpus_doc")
     )
-    inter = F.size(F.array_intersect(F.col("set_n"), F.col("set_c")))
-    union = F.size("set_n") + F.size("set_c") - inter
+    jac = jaccard_expr(F.col("set_n"), F.col("set_c"))
     return (
         cands.join(new_sets, "new_doc")
         .join(corp_sets, "corpus_doc")
@@ -303,10 +312,8 @@ def incremental_minhash_dedup(
             "new_doc",
             "corpus_doc",
             "n_bands",
-            F.round(inter.cast("double") / union, 5).alias("jaccard"),
-            (F.round(inter.cast("double") / union, 5) >= threshold).alias(
-                "is_dup"
-            ),
+            jac.alias("jaccard"),
+            (jac >= threshold).alias("is_dup"),
         )
     )
 

@@ -20,10 +20,12 @@ expresses that path with Structured Streaming:
   watermarked late-data handling — the live-metrics view of
   ``crawl_metrics``.
 - ``stream_ingest_dedup``: the continuous-ingest near-dup gate —
-  each micro-batch of incoming DOCUMENTS probes the corpus's stored
-  MinHash band-bucket index (operators/dedup.incremental_minhash_dedup)
-  and emits admit/reject decisions via ``foreachBatch``; the index is
-  computed once at stream start, never per batch.
+  each micro-batch of incoming DOCUMENTS probes a stored MinHash
+  band-bucket index (operators/dedup.incremental_minhash_dedup) and
+  emits one admit/reject decision per doc via ``foreachBatch``. The
+  gate is STATEFUL: admitted docs join the index (stored parquet, no
+  caching), so later dups of streamed docs — and same-batch dups —
+  are rejected too, not just dups of the original corpus.
 
 Tested with the ``availableNow`` trigger (bounded drain) in
 tests/test_streaming.py — the same code runs unbounded in production.
@@ -159,39 +161,119 @@ def stream_ingest_dedup(
     shingle_n: int = 3,
     threshold: float = 0.02,
     available_now: bool = False,
+    state_dir: str | None = None,
 ):
-    """Continuous-ingest dedup gate: incoming documents land as
-    parquet files in ``drop_dir``; every micro-batch is probed against
-    the corpus's MinHash band-bucket index and ``sink(decisions,
-    batch_id)`` receives the ``(new_doc, corpus_doc, n_bands, jaccard,
-    is_dup)`` admit/reject rows (the streaming twin of the batch
-    ``d9`` operator — same code path, so batch and stream decisions
-    are identical for the same batch content).
+    """Continuous-ingest dedup GATE: incoming documents land as
+    parquet files in ``drop_dir``; every micro-batch emits ONE
+    decision row PER INCOMING DOC — ``(doc_id, admitted, n_matches,
+    best_jaccard, matched_doc)`` — via ``sink(decisions, batch_id)``.
+    A doc is rejected when it near-dups (verified n-gram Jaccard ≥
+    ``threshold``, the batch ``d9`` code path) ANY of: the corpus, a
+    doc admitted in an EARLIER micro-batch, or a smaller-``doc_id``
+    doc in the SAME batch (intra-batch order is doc_id; a doc whose
+    batch-mate is itself rejected still rejects — transitively it
+    duplicates the same content). Clean docs therefore always get an
+    ``admitted = true`` row; a sink never needs the raw batch to
+    reconstruct admissions. Stream-wide unique doc_ids are the
+    caller's contract (as for any frontier key).
 
-    Scale shape: the corpus index is materialized ONCE at stream
-    start (``localCheckpoint`` here; in production a stored table
-    partitioned by (band, bucket)) — per micro-batch work is the
-    batch-sized probe + candidate-only verify from
-    ``incremental_minhash_dedup``, independent of corpus size. The
-    decision stream is idempotent per batch content, so checkpoint
-    replays re-emit, never corrupt."""
+    State is STORED PARQUET under ``state_dir`` (default
+    ``<checkpoint_dir>/dedup-state``), exactly the production shape:
+    the corpus band-bucket index is written once at stream start, and
+    each batch appends its admitted docs + their buckets as a
+    ``batch-<id>`` directory — no driver/executor caching, nothing
+    pinned across restarts (a restarted stream rebuilds its view from
+    the same files). Replay-safe: a re-run batch overwrites its own
+    ``batch-<id>`` dirs and EXCLUDES them from the index it probes,
+    so its decisions are bit-identical to the first run. Per-batch
+    cost is the bounded probe + candidate-only verify; the state dir
+    grows one small dir per batch (compact periodically in a
+    long-lived deployment, like any streaming sink)."""
+    import os
+
     from scrapetition_spark.operators.dedup import (
         incremental_minhash_dedup,
+        lsh_verified_neardups,
         minhash_buckets,
     )
 
-    idx = minhash_buckets(corpus, n_bands, shingle_n).localCheckpoint()
+    state = state_dir or os.path.join(checkpoint_dir, "dedup-state")
+    corpus_idx_path = os.path.join(state, "corpus_index")
+    if not os.path.isdir(corpus_idx_path):
+        minhash_buckets(
+            corpus.select("doc_id", "text", "lang"), n_bands, shingle_n
+        ).write.mode("overwrite").parquet(corpus_idx_path)
+
+    def _batch_dirs(root: str, exclude: str) -> list[str]:
+        # bounded driver-side metadata: one entry per past micro-batch
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d != exclude
+        )
 
     def probe(batch_df: DataFrame, batch_id: int) -> None:
-        decisions = incremental_minhash_dedup(
-            corpus,
-            batch_df.select("doc_id", "text", "lang"),
-            n_bands=n_bands,
-            shingle_n=shingle_n,
-            threshold=threshold,
+        batch = batch_df.select("doc_id", "text", "lang")
+        me = f"batch-{batch_id}"
+        doc_dirs = _batch_dirs(os.path.join(state, "admitted_docs"), me)
+        bkt_dirs = _batch_dirs(os.path.join(state, "admitted_buckets"), me)
+        known = corpus.select("doc_id", "text", "lang")
+        idx = spark.read.parquet(corpus_idx_path)
+        if doc_dirs:
+            known = known.unionByName(spark.read.parquet(*doc_dirs))
+            idx = idx.unionByName(spark.read.parquet(*bkt_dirs))
+        cross = incremental_minhash_dedup(
+            known, batch,
+            n_bands=n_bands, shingle_n=shingle_n, threshold=threshold,
             corpus_index=idx,
         )
+        selfp = lsh_verified_neardups(
+            batch, n_bands=n_bands, threshold=threshold, shingle_n=shingle_n
+        )
+        matches = (
+            cross.filter("is_dup")
+            .select(
+                F.col("new_doc").alias("doc_id"),
+                F.col("corpus_doc").alias("matched_doc"),
+                "jaccard",
+            )
+            .unionByName(
+                selfp.select(
+                    F.col("doc_b").alias("doc_id"),
+                    F.col("doc_a").alias("matched_doc"),
+                    "jaccard",
+                )
+            )
+        )
+        agg = matches.groupBy("doc_id").agg(
+            F.count("*").cast("int").alias("n_matches"),
+            F.max("jaccard").alias("best_jaccard"),
+            F.min("matched_doc").alias("matched_doc"),
+        )
+        decisions = (
+            batch.select("doc_id")
+            .join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("matched_doc").isNull().alias("admitted"),
+                F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+                "best_jaccard",
+                "matched_doc",
+            )
+        )
         sink(decisions, batch_id)
+        admitted = batch.join(
+            decisions.filter("admitted").select("doc_id"), "doc_id",
+            "left_semi",
+        )
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(state, "admitted_docs", me)
+        )
+        minhash_buckets(admitted, n_bands, shingle_n).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state, "admitted_buckets", me))
 
     stream = spark.readStream.schema(DOC_STREAM).parquet(drop_dir)
     writer = stream.writeStream.foreachBatch(probe).option(

@@ -157,11 +157,10 @@ def test_stream_politeness_admit_budget_across_batches(spark):
 
 
 def test_stream_ingest_dedup_gate(spark):
-    """Continuous-ingest near-dup gate: two drop files drained
-    file-at-a-time produce the SAME decision set as one combined
-    batch, and the decisions match the batch d9 operator exactly
-    (same code path)."""
-    from scrapetition_spark.operators.dedup import incremental_minhash_dedup
+    """Stateful continuous-ingest gate: per-doc decisions; dups of the
+    corpus, of earlier-admitted streamed docs, AND of same-batch
+    smaller-id docs are all rejected; the admitted set is invariant
+    under batch splits."""
     from scrapetition_spark.streaming.ingest import (
         DOC_STREAM,
         stream_ingest_dedup,
@@ -172,49 +171,47 @@ def test_stream_ingest_dedup_gate(spark):
          (2, "ta tb tc td te tf tg th ti tj", "en")],
         "doc_id long, text string, lang string",
     )
+    clean = "ua ub uc ud ue uf ug uh ui uj"
     incoming = [
-        (101, "sa sb sc sd se sf sg sh si sj", "en", T0),  # dup of 1
-        (102, "ua ub uc ud ue uf ug uh ui uj", "en", T0),  # clean
-        (103, "ta tb tc td te tf tg th ti tj", "en", T0),  # dup of 2
+        (101, "sa sb sc sd se sf sg sh si sj", "en", T0),  # dup of corpus 1
+        (102, clean, "en", T0),                            # novel -> admitted
+        (105, clean, "en", T0),                            # dup of batch-mate 102
+        (103, "ta tb tc td te tf tg th ti tj", "en", T0),  # dup of corpus 2
+        (104, clean, "en", T0),                            # dup of admitted 102
     ]
 
-    def run(drop_files):
+    def run(chunks):
         drop = tempfile.mkdtemp(prefix="ddg-drop-")
         ckpt = tempfile.mkdtemp(prefix="ddg-ckpt-")
-        seen: list[tuple] = []
+        seen = {}
 
         def sink(decisions, batch_id):
-            seen.extend(
-                (r["new_doc"], r["corpus_doc"], r["n_bands"],
-                 r["jaccard"], r["is_dup"])
-                for r in decisions.collect()
-            )
+            for r in decisions.collect():
+                seen[r["doc_id"]] = (
+                    r["admitted"], r["n_matches"], r["best_jaccard"],
+                    r["matched_doc"],
+                )
 
-        for chunk in drop_files:
+        for chunk in chunks:
             spark.createDataFrame(chunk, DOC_STREAM).coalesce(1).write.mode(
                 "append"
             ).parquet(drop)
             q = stream_ingest_dedup(
                 spark, drop, corpus, sink, ckpt, available_now=True
             )
-            q.awaitTermination(120)
-        return sorted(seen)
+            assert q.awaitTermination(300)
+        return seen
 
-    one_batch = run([incoming])
-    file_at_a_time = run([incoming[:1], incoming[1:]])
-    assert one_batch == file_at_a_time
-    # decisions equal the batch operator's output on the same content
-    batch_rows = sorted(
-        (r["new_doc"], r["corpus_doc"], r["n_bands"], r["jaccard"], r["is_dup"])
-        for r in incremental_minhash_dedup(
-            corpus,
-            spark.createDataFrame(
-                [(d, t, la) for d, t, la, _ in incoming],
-                "doc_id long, text string, lang string",
-            ),
-        ).collect()
-    )
-    assert one_batch == batch_rows
-    assert [(n, c, d) for n, c, _, _, d in one_batch] == [
-        (101, 1, True), (103, 2, True)
-    ]
+    got = run([incoming[:3], incoming[3:]])  # file at a time
+    assert got[101] == (False, 1, 1.0, 1)
+    assert got[102] == (True, 0, None, None)
+    assert got[105] == (False, 1, 1.0, 102)   # intra-batch dup
+    assert got[103] == (False, 1, 1.0, 2)
+    assert got[104] == (False, 1, 1.0, 102)   # dup of earlier-admitted doc
+
+    # admitted set + blame are split-invariant (n_matches may differ:
+    # one batch sees 104/105 as mutual candidates too)
+    one = run([incoming])
+    assert {d: (v[0], v[3]) for d, v in one.items()} == {
+        d: (v[0], v[3]) for d, v in got.items()
+    }
