@@ -442,6 +442,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         target mix, with the keep-rate / repeat-count directives."""
         return T.mix_weights(_t(spark, sf, "documents"))
 
+    def t10(spark, sf):
+        """Deterministic epoch-1 training shuffle: contiguous global
+        positions from sharded md5 rank + broadcast shard offsets (no
+        single-partition sort)."""
+        return T.epoch_shuffle(_t(spark, sf, "documents"), epoch=1)
+
     def p1(spark, sf):
         """The composed training-data cleaning pipeline a 100 TB
         corpus runs end-to-end: exact-dedup survivors ∩ quality gate
@@ -646,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_segment_dedup": d8,
         "d9_incremental_minhash": d9,
         "t9_mix_weights": t9,
+        "t10_epoch_shuffle": t10,
         "s2b_ann_recall": s2b,
         "s3b_ann_recall": s3b,
         "m1_media_metadata": m1,
@@ -1560,6 +1567,13 @@ def oracle_sql() -> dict[str, str]:
                              / (n_tokens / CAST(total_tokens AS DOUBLE)))
                         AS BIGINT) AS n_repeats
             FROM per_lang, tot
+        """,
+        "t10_epoch_shuffle": """
+            SELECT doc_id, 1 AS epoch,
+                   row_number() OVER (
+                     ORDER BY md5('1|' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) - 1 AS shuffle_pos
+            FROM documents
         """,
         "s2_ann_lsh": f"""
             WITH {_sketch_tables_cte(8, 8).strip()},

@@ -359,6 +359,60 @@ def pack_sequences(
     )
 
 
+def epoch_shuffle(
+    docs: DataFrame, epoch: int = 1, n_shards: int = 256
+) -> DataFrame:
+    """Deterministic global training shuffle: assign every doc a
+    contiguous 0-based ``shuffle_pos`` for the given ``epoch`` — the
+    order a data loader reads the corpus that epoch. The permutation
+    is ``md5(epoch || '|' || doc_id)`` rank: reproducible on any
+    cluster, different per epoch, no RNG state to ship.
+
+    Scale shape: a naive ``row_number() OVER (ORDER BY key)`` is a
+    SINGLE-partition sort — the one-machine bottleneck a 100 TB
+    shuffle cannot pay. Instead the key's top two bytes map MONOTONE
+    onto ``n_shards`` contiguous ranges (``floor(v * n_shards /
+    65536)`` — order-preserving, so sorting within shards IS the
+    global md5 order): each shard ranks independently under a
+    partitioned window (``n_shards`` ≈ cluster parallelism,
+    md5-uniform sizes), and the global position adds the shard's
+    offset — a cumulative sum over the per-shard counts, a
+    ``n_shards``-row frame whose driver-window cost is O(shards),
+    broadcast back. One shuffle for the window, one tiny agg; no
+    global sort."""
+    if not 1 <= n_shards <= 65536:
+        raise ValueError(f"n_shards must be in [1, 65536], got {n_shards}")
+    key = F.md5(
+        F.concat(F.lit(f"{epoch}|"), F.col("doc_id").cast("string"))
+    )
+    shard = F.floor(
+        F.conv(F.substring(key, 1, 4), 16, 10).cast("long")
+        * n_shards
+        / 65536
+    ).cast("int")
+    base = docs.select("doc_id", key.alias("skey"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    pos_in = F.row_number().over(w).cast("long")
+    counts = base.groupBy("shard").agg(F.count("*").alias("c"))
+    w_off = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "shard",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0).cast("long")).alias(
+            "off"
+        ),
+    )
+    return (
+        base.join(F.broadcast(offsets), "shard")
+        .select(
+            "doc_id",
+            F.lit(epoch).alias("epoch"),
+            (F.col("off") + pos_in - 1).alias("shuffle_pos"),
+        )
+    )
+
+
 def language_guess(docs: DataFrame) -> DataFrame:
     """Stopword-marker language heuristic (the operator shape of an
     n-gram language-ID; the synthetic corpus is vocab-uniform so the

@@ -658,3 +658,30 @@ def test_mix_weights_hand_computed(spark, docs):
     assert out["zh"]["keep_rate"] == 1.0 and out["zh"]["n_repeats"] == 2
     # xx: not in targets -> dropped from the mix
     assert out["xx"]["weight"] == 0.0 and out["xx"]["keep_rate"] == 0.0
+
+
+def test_epoch_shuffle_permutation_properties(spark, docs):
+    """shuffle_pos is a contiguous 0..n-1 permutation, invariant under
+    input partitioning AND under the shard count (the monotone-prefix
+    sharding must reproduce the single global md5 order exactly);
+    different epochs give different permutations."""
+    from scrapetition_spark.operators.text import epoch_shuffle
+
+    import pytest as _pytest
+
+    n = docs.count()
+    e1 = {r["doc_id"]: r["shuffle_pos"]
+          for r in epoch_shuffle(docs, epoch=1).collect()}
+    assert sorted(e1.values()) == list(range(n))
+    # shard-count + partitioning invariance: same permutation
+    e1b = {r["doc_id"]: r["shuffle_pos"]
+           for r in epoch_shuffle(docs.repartition(13), epoch=1,
+                                  n_shards=7).collect()}
+    assert e1 == e1b
+    # another epoch is a different (but still complete) permutation
+    e2 = {r["doc_id"]: r["shuffle_pos"]
+          for r in epoch_shuffle(docs, epoch=2).collect()}
+    assert sorted(e2.values()) == list(range(n))
+    assert e1 != e2
+    with _pytest.raises(ValueError, match="n_shards"):
+        epoch_shuffle(docs, n_shards=0)
