@@ -109,6 +109,7 @@ def main() -> None:
         "t5_repetition_scores",
         "p2_full_pipeline",
         "d8_segment_dedup",
+        "t10_epoch_shuffle",
     ]
     qs = E.queries()
     times: dict[str, float] = {}
