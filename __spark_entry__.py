@@ -448,6 +448,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         single-partition sort)."""
         return T.epoch_shuffle(_t(spark, sf, "documents"), epoch=1)
 
+    def t11(spark, sf):
+        """CCNet-shaped unigram LM quality score: per-doc surprisal
+        vs the corpus unigram entropy; keep = more typical than
+        average."""
+        return T.unigram_lm_scores(_t(spark, sf, "documents"))
+
     def p1(spark, sf):
         """The composed training-data cleaning pipeline a 100 TB
         corpus runs end-to-end: exact-dedup survivors ∩ quality gate
@@ -653,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d9_incremental_minhash": d9,
         "t9_mix_weights": t9,
         "t10_epoch_shuffle": t10,
+        "t11_lm_scores": t11,
         "s2b_ann_recall": s2b,
         "s3b_ann_recall": s3b,
         "m1_media_metadata": m1,
@@ -1574,6 +1581,25 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY md5('1|' || CAST(doc_id AS VARCHAR)), doc_id
                    ) - 1 AS shuffle_pos
             FROM documents
+        """,
+        "t11_lm_scores": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+            vb AS (
+              SELECT tok, cnt,
+                     -log2(cnt / CAST(total AS DOUBLE)) AS bits
+              FROM vocab, tot),
+            ent AS (
+              SELECT round(sum(cnt * bits) / sum(cnt), 4) AS h FROM vb)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(sum(bits) / count(*), 4) AS bits_per_token,
+                   round(sum(bits) / count(*), 4) <= (SELECT h FROM ent)
+                     AS keep
+            FROM toks JOIN vb USING (tok)
+            GROUP BY doc_id
         """,
         "s2_ann_lsh": f"""
             WITH {_sketch_tables_cte(8, 8).strip()},

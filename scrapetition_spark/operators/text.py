@@ -359,6 +359,57 @@ def pack_sequences(
     )
 
 
+def unigram_lm_scores(docs: DataFrame) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al.
+    2020's perplexity filter, at unigram order so the model is
+    derivable from the corpus itself with no external artifact):
+    per-doc average surprisal ``bits_per_token`` under the corpus
+    unigram distribution, plus ``keep`` = bits_per_token ≤ the
+    distribution's entropy (docs more typical than the corpus
+    average — the "head" CCNet keeps). Both quantities are rounded
+    to 4 decimals BEFORE the comparison, so the flag is a pure
+    function of the hash-verified numbers.
+
+    Scale shape: the vocabulary is Zipf-small relative to the corpus
+    (one map-side-combining hash agg), so the per-token bits table
+    broadcasts and the corpus side streams through explode → broadcast
+    join → per-doc hash agg — no corpus-sized shuffle. (A
+    beyond-broadcast vocabulary would demote that join to a plain
+    shuffle on ``tok``; nothing else changes.) The entropy is one
+    aggregate over the vocab frame."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("long").alias("total"))
+    vb = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        "cnt",
+        (-F.log2(F.col("cnt") / F.col("total"))).alias("bits"),
+    )
+    ent = vb.agg(
+        F.round(
+            F.sum(F.col("cnt") * F.col("bits")) / F.sum("cnt"), 4
+        ).alias("h")
+    )
+    bpt = F.round(F.sum("bits") / F.count("*"), 4)
+    return (
+        toks.join(F.broadcast(vb.select("tok", "bits")), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            bpt.alias("bits_per_token"),
+        )
+        .crossJoin(F.broadcast(ent))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bits_per_token",
+            (F.col("bits_per_token") <= F.col("h")).alias("keep"),
+        )
+    )
+
+
 def epoch_shuffle(
     docs: DataFrame, epoch: int = 1, n_shards: int = 256
 ) -> DataFrame:

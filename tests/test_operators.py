@@ -685,3 +685,28 @@ def test_epoch_shuffle_permutation_properties(spark, docs):
     assert e1 != e2
     with _pytest.raises(ValueError, match="n_shards"):
         epoch_shuffle(docs, n_shards=0)
+
+
+def test_unigram_lm_scores_hand_computed(spark, docs):
+    """bits_per_token = mean -log2(corpus unigram prob); a doc of
+    common tokens scores below the corpus entropy (keep=True), a doc
+    carrying the rare tokens above it (keep=False)."""
+    import math
+
+    from scrapetition_spark.operators.text import unigram_lm_scores
+
+    planted = spark.createDataFrame(
+        [(1, "x x x x", "en", "x", 7),
+         (2, "x x y z", "en", "x", 7)],
+        docs.schema,
+    )
+    out = {r["doc_id"]: r for r in unigram_lm_scores(planted).collect()}
+    # vocab: x:6 y:1 z:1, total 8
+    bx, br = -math.log2(6 / 8), -math.log2(1 / 8)
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["bits_per_token"] == pytest.approx(round(bx, 4))
+    assert out[2]["bits_per_token"] == pytest.approx(
+        round((2 * bx + 2 * br) / 4, 4)
+    )
+    # entropy = (6*bx + 2*br)/8 ≈ 1.0613: doc 1 below, doc 2 above
+    assert out[1]["keep"] is True and out[2]["keep"] is False
