@@ -121,6 +121,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def a15(spark, sf):
         return A.a15_set_ops(urls_from_documents(_t(spark, sf, "documents")))
 
+    def a16(spark, sf):
+        """Link-authority ranking of the crawl graph: fixed-iteration
+        power-method PageRank over the deterministic document link
+        graph (out-degree 3, modular targets). One co-partitioned
+        join + one map-side-combining hash agg per iteration; output
+        is the n-normalized rank rounded to 6 decimals."""
+        from scrapetition_spark.operators.corpus import link_graph_from_documents
+        from scrapetition_spark.operators.graph import pagerank
+
+        docs = _t(spark, sf, "documents")
+        n = docs.count()
+        edges = link_graph_from_documents(docs, n)
+        nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+        return pagerank(edges, nodes=nodes, damping=0.85, n_iter=10)
+
     def a3(spark, sf):
         return A.a3_graph_bfs(_t(spark, sf, "orders"), _t(spark, sf, "lineitem"))
 
@@ -637,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a13_filtered_count": a13,
         "a14_concomitance": a14,
         "a15_set_ops": a15,
+        "a16_pagerank": a16,
         "c1_due_set": c1,
         "c3_frontier_merge_fifo": c3,
         "c5_unseen_bloom": c5,
@@ -696,6 +712,55 @@ FIXTURE_START_DOMAIN = "www.zeit.de"
 
 def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+def _pagerank_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power-iteration twin of operators/graph.pagerank over
+    the same modular link graph (corpus.link_graph_from_documents):
+    pr0 = uniform, pr{k+1} = (1-d)/n + d * Σ in-contributions. The
+    iteration count and damping are literals in both engines; only
+    the output is rounded (n-normalized rank, 6 decimals)."""
+    base = round(1.0 - damping, 10)
+    ctes = [
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        "nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents)",
+        """edges AS (
+              -- identical arithmetic to corpus.link_graph_from_documents:
+              -- always (d+1)%n; quadratic (d*d+1)%n when d%3!=0 (the
+              -- in-degree skew); (7d+3)%n when d%5<3
+              SELECT CAST(doc_id AS BIGINT) AS src,
+                     (CAST(doc_id AS BIGINT) + 1) % nn.n AS dst
+              FROM documents, nn
+              UNION ALL
+              SELECT CAST(doc_id AS BIGINT),
+                     (CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT) + 1) % nn.n
+              FROM documents, nn WHERE doc_id % 3 != 0
+              UNION ALL
+              SELECT CAST(doc_id AS BIGINT),
+                     (CAST(doc_id AS BIGINT) * 7 + 3) % nn.n
+              FROM documents, nn WHERE doc_id % 5 < 3)""",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        """ew AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS w
+               FROM edges e JOIN deg d ON e.src = d.src)""",
+        "pr0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)",
+    ]
+    for k in range(n_iter):
+        ctes.append(
+            f"""pr{k + 1} AS (
+              SELECT nd.node,
+                     {base} / nn.n + {damping} * coalesce(s.c, 0) AS rank
+              FROM nodes nd CROSS JOIN nn
+              LEFT JOIN (SELECT ew.dst AS node, sum(p.rank * ew.w) AS c
+                         FROM pr{k} p JOIN ew ON ew.src = p.node
+                         GROUP BY ew.dst) s ON nd.node = s.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n            ".join(ctes)
+        + f"""
+            SELECT p.node, round(p.rank * nn.n, 6) AS nrank
+            FROM pr{n_iter} p, nn ORDER BY p.node"""
+    )
 
 
 def _fixture_sim():
@@ -1242,6 +1307,7 @@ def oracle_sql() -> dict[str, str]:
               (SELECT count(*) FROM (SELECT url FROM sample EXCEPT SELECT url FROM seen)) AS n_except,
               (SELECT count(DISTINCT host) FROM urls) AS n_hosts
         """,
+        "a16_pagerank": _pagerank_oracle_sql(),
         "c1_due_set": f"""
             WITH {_URLS_CTE.strip()},
             ranked AS (

@@ -58,6 +58,39 @@ def comments_from_events(events: DataFrame) -> DataFrame:
     )
 
 
+def link_graph_from_documents(docs: DataFrame, n_docs: int) -> DataFrame:
+    """Deterministic crawl link graph over the document corpus
+    (doc_ids are 0..n-1 contiguous in the driver's testdata, so every
+    modular target exists):
+
+    - ``(d+1) % n`` always — so out-degree ≥ 1, no dangling mass;
+    - ``(d² + 1) % n`` when ``d % 3 != 0`` — the quadratic map is
+      many-to-one mod n, concentrating in-links on quadratic residues
+      (the in-degree skew a real link graph has);
+    - ``(7d + 3) % n`` when ``d % 5 < 3``.
+
+    Out-degree varies 1..3 and in-degree is genuinely skewed, so the
+    fixed-point is NON-uniform (a 3-permutation union would be doubly
+    stochastic and rank everything exactly 1.0 — useless as a
+    correctness signal). Self-loops/parallel edges at residue
+    collisions are kept; ``graph.pagerank`` handles both. The DuckDB
+    twin builds the identical edge list with the same arithmetic."""
+    d = F.col("doc_id").cast("long")
+    parts = [
+        docs.select(d.alias("src"), ((d + 1) % n_docs).alias("dst")),
+        docs.filter(d % 3 != 0).select(
+            d.alias("src"), ((d * d + 1) % n_docs).alias("dst")
+        ),
+        docs.filter(d % 5 < 3).select(
+            d.alias("src"), ((d * 7 + 3) % n_docs).alias("dst")
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, lang, shingle) — word n-grams in document order via
     posexplode + lead windows (identical to the oracle's

@@ -1,0 +1,94 @@
+"""PageRank operator (operators/graph.py): hand-checkable fixtures +
+an independent NumPy power-iteration replica, and the scale-shape
+invariants (repartition-stable, nodes-derivation, dangling leak)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrapetition_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(n, edges, damping=0.85, n_iter=10):
+    """Independent row-at-a-time replica of the leaky-mass fixed-
+    iteration formulation (NOT the Spark code): rank' = (1-d)/n +
+    d * sum(rank/outdeg over in-edges)."""
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        nxt = np.full(n, (1.0 - damping) / n)
+        for s, d in edges:
+            nxt[d] += damping * r[s] / outdeg[s]
+        r = nxt
+    return r
+
+
+def _run(spark, n, edges, **kw):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    rows = pagerank(e, nodes=nodes, **kw).collect()
+    return {r["node"]: r["nrank"] for r in rows}
+
+
+def test_cycle_is_uniform(spark):
+    # 3-cycle: the stationary (and every-iteration) rank is uniform.
+    got = _run(spark, 3, [(0, 1), (1, 2), (2, 0)])
+    assert got == {0: 1.0, 1: 1.0, 2: 1.0}
+
+
+def test_star_matches_numpy_replica(spark):
+    # hub-and-spoke with a backlink: 1→0, 2→0, 3→0, 0→1.
+    edges = [(1, 0), (2, 0), (3, 0), (0, 1)]
+    exp = _numpy_pagerank(4, edges)
+    got = _run(spark, 4, edges)
+    for i in range(4):
+        assert got[i] == pytest.approx(round(exp[i] * 4, 6), abs=1e-6)
+    # the no-in-edge spokes tie at the damped base and everyone with
+    # in-links beats them (the star is near-bipartite, so 0 vs 1
+    # oscillates at a fixed iteration count — the replica, not an
+    # ordering intuition, is the ground truth)
+    assert got[2] == got[3]
+    assert min(got[0], got[1]) > got[2]
+
+
+def test_dangling_mass_leaks(spark):
+    # 0→1, 1 has no out-edges: the leaky formulation loses 1's damped
+    # mass each round, so total rank < n. NumPy replica agrees exactly.
+    edges = [(0, 1)]
+    exp = _numpy_pagerank(2, edges)
+    got = _run(spark, 2, edges)
+    assert sum(got.values()) < 2.0
+    for i in range(2):
+        assert got[i] == pytest.approx(round(exp[i] * 2, 6), abs=1e-6)
+
+
+def test_parallel_edges_and_self_loops(spark):
+    # 0→1 twice + 0→0 self-loop: outdeg(0)=3, 1 gets 2/3 of 0's rank,
+    # 0 keeps 1/3 of its own. Replica is the ground truth.
+    edges = [(0, 1), (0, 1), (0, 0), (1, 0)]
+    exp = _numpy_pagerank(2, edges)
+    got = _run(spark, 2, edges)
+    for i in range(2):
+        assert got[i] == pytest.approx(round(exp[i] * 2, 6), abs=1e-6)
+
+
+def test_nodes_derived_and_repartition_invariant(spark):
+    edges = [(i, (i * 3 + 1) % 7) for i in range(7)] + [(i, (i + 2) % 7) for i in range(7)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    base = {r["node"]: r["nrank"] for r in pagerank(e).collect()}
+    skewed = {
+        r["node"]: r["nrank"]
+        for r in pagerank(e.repartition(13, "dst"), partitions=5).collect()
+    }
+    assert base == skewed
+    assert set(base) == set(range(7))
+
+
+def test_rejects_zero_iterations(spark):
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(e, n_iter=0)
