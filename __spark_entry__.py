@@ -452,6 +452,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.filter(F.col("doc_id") % 10 == 7),
         )
 
+    def d10(spark, sf):
+        """SemDedup: IVF-cell clustering + within-cell cosine prune —
+        per-vector keep/dup_of decisions; the pairwise pass is
+        cell-local, never corpus-wide."""
+        return D.semantic_dedup(
+            _t(spark, sf, "embeddings"), n_cells=16, threshold=0.4
+        )
+
     def t9(spark, sf):
         """Training-mix rebalance: per-language token shares vs the
         target mix, with the keep-rate / repeat-count directives."""
@@ -673,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d7_decontamination": d7,
         "d8_segment_dedup": d8,
         "d9_incremental_minhash": d9,
+        "d10_semantic_dedup": d10,
         "t9_mix_weights": t9,
         "t10_epoch_shuffle": t10,
         "t11_lm_scores": t11,
@@ -1607,6 +1616,36 @@ def oracle_sql() -> dict[str, str]:
               FROM cands c
               JOIN sets sn ON c.new_doc = sn.doc_id
               JOIN sets sc ON c.corpus_doc = sc.doc_id)
+        """,
+        "d10_semantic_dedup": """
+            WITH cents AS (
+              -- same hash-spread anchors as the s3 twin
+              -- (similarity.ivf_anchors): smallest md5(vec_id) hex
+              SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c_emb
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+            asg AS (
+              SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.c_emb), 6) DESC,
+                           c.cell ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+              WHERE rn = 1),
+            dups AS (
+              SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+              FROM asg a JOIN asg b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              JOIN embeddings ea ON a.vec_id = ea.vec_id
+              JOIN embeddings eb ON b.vec_id = eb.vec_id
+              WHERE round(list_cosine_similarity(
+                      CAST(ea.embedding AS DOUBLE[]),
+                      CAST(eb.embedding AS DOUBLE[])), 4) >= 0.4
+              GROUP BY b.vec_id)
+            SELECT g.vec_id, g.cell, d.dup_of IS NULL AS keep, d.dup_of
+            FROM asg g LEFT JOIN dups d ON g.vec_id = d.vec_id
+            ORDER BY g.vec_id
         """,
         "t9_mix_weights": """
             WITH per_lang AS (

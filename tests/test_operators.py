@@ -710,3 +710,47 @@ def test_unigram_lm_scores_hand_computed(spark, docs):
     )
     # entropy = (6*bx + 2*br)/8 ≈ 1.0613: doc 1 below, doc 2 above
     assert out[1]["keep"] is True and out[2]["keep"] is False
+
+
+def test_semantic_dedup_planted_and_invariants(spark, emb):
+    """SemDedup: a planted identical pair lands in one cell and the
+    larger id is dropped with dup_of = the smaller; every vector
+    appears exactly once and keep <=> dup_of IS NULL."""
+    from scrapetition_spark.operators.dedup import semantic_dedup
+
+    base = emb.limit(40)
+    clone = base.filter(F.col("vec_id") == 7).select(
+        F.lit(9001).cast("long").alias("vec_id"),
+        "embedding",
+        F.col("label"),
+    )
+    frame = base.unionByName(clone)
+    out = semantic_dedup(frame, n_cells=4, threshold=0.99).localCheckpoint()
+
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == 41  # one row per vector, none lost
+    assert rows[9001]["keep"] is False and rows[9001]["dup_of"] == 7
+    assert rows[7]["keep"] is True and rows[7]["dup_of"] is None
+    # identical embeddings must share a cell (same cosines, same
+    # deterministic tie-break)
+    assert rows[9001]["cell"] == rows[7]["cell"]
+    for r in rows.values():
+        assert r["keep"] == (r["dup_of"] is None)
+        if r["dup_of"] is not None:
+            assert r["dup_of"] < r["vec_id"]
+
+
+def test_semantic_dedup_prune_is_cell_local(spark, emb):
+    """Near-identical vectors in DIFFERENT cells are both kept —
+    the quadratic prune never crosses a cell boundary (that is the
+    SemDedup contract that bounds the pairwise pass)."""
+    from scrapetition_spark.operators.dedup import semantic_dedup
+
+    out = semantic_dedup(emb, n_cells=16, threshold=0.4)
+    joined = (
+        out.alias("x")
+        .join(out.alias("y"), F.col("x.dup_of") == F.col("y.vec_id"))
+        .select(F.col("x.cell").alias("cx"), F.col("y.cell").alias("cy"))
+    )
+    cross = joined.filter(F.col("cx") != F.col("cy")).count()
+    assert cross == 0
