@@ -477,6 +477,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         average."""
         return T.unigram_lm_scores(_t(spark, sf, "documents"))
 
+    def t12(spark, sf):
+        """Per-doc top-3 TF-IDF terms, ranked by the integer-exact
+        (tf DESC, df ASC, tok ASC) key; the floating score is
+        reported, never used to rank."""
+        return T.tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+
     def p1(spark, sf):
         """The composed training-data cleaning pipeline a 100 TB
         corpus runs end-to-end: exact-dedup survivors ∩ quality gate
@@ -685,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_mix_weights": t9,
         "t10_epoch_shuffle": t10,
         "t11_lm_scores": t11,
+        "t12_tfidf_terms": t12,
         "s2b_ann_recall": s2b,
         "s3b_ann_recall": s3b,
         "m1_media_metadata": m1,
@@ -1705,6 +1712,26 @@ def oracle_sql() -> dict[str, str]:
                      AS keep
             FROM toks JOIN vb USING (tok)
             GROUP BY doc_id
+        """,
+        "t12_tfidf_terms": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            tf AS (
+              SELECT doc_id, tok, count(*) AS tf
+              FROM toks GROUP BY doc_id, tok),
+            dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            nn AS (SELECT count(*) AS n FROM documents),
+            ranked AS (
+              SELECT t.doc_id, t.tok, t.tf, d.df,
+                     round(t.tf * ln(CAST(nn.n AS DOUBLE) / d.df), 4)
+                       AS tfidf,
+                     CAST(row_number() OVER (PARTITION BY t.doc_id
+                       ORDER BY t.tf DESC, d.df ASC, t.tok ASC) AS INT)
+                       AS pos
+              FROM tf t JOIN dfreq d USING (tok) CROSS JOIN nn)
+            SELECT doc_id, tok, tf, df, tfidf, pos
+            FROM ranked WHERE pos <= 3 ORDER BY doc_id, pos
         """,
         "s2_ann_lsh": f"""
             WITH {_sketch_tables_cte(8, 8).strip()},

@@ -479,3 +479,46 @@ def language_guess(docs: DataFrame) -> DataFrame:
         ratio.alias("marker_ratio"),
         (hits >= 2).alias("looks_english"),
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic corpus keyword
+    surface a training-data pipeline uses for topic tagging / quality
+    triage.
+
+    Plan shape at 100 TB: term frequencies are one map-side-combining
+    hash agg after the explode; document frequencies aggregate the
+    (already distinct) tf pairs, so no second corpus scan; the
+    tf⋈df join shuffles on the token key (Zipf-wide key space — AQE
+    broadcasts the df side when the vocabulary is small); the top-k
+    window partitions on doc_id, which is maximal-cardinality, so no
+    single partition sees more than one document's terms.
+
+    The RANKING key is integer-exact — (tf DESC, df ASC, token ASC) —
+    never the floating score: two engines disagreeing by one ulp of
+    ``ln`` must not pick different terms. The tfidf score itself
+    (tf · ln(n/df), rounded to 4) is reported for the rows the integer
+    rank selected.
+    """
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.count()  # one bounded scalar action
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("tok").asc()
+    )
+    return (
+        tf.join(dfreq, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 4
+            ).alias("tfidf"),
+            "pos",
+        )
+    )

@@ -754,3 +754,30 @@ def test_semantic_dedup_prune_is_cell_local(spark, emb):
     )
     cross = joined.filter(F.col("cx") != F.col("cy")).count()
     assert cross == 0
+
+
+def test_tfidf_top_terms_planted(spark):
+    """Hand-computed TF-IDF on a 3-doc corpus: integer rank key
+    (tf desc, df asc, tok asc) and exact ln-based scores."""
+    import math
+
+    from scrapetition_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b c"), (1, "a b b d"), (2, "c c e e e")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["pos"]): r
+        for r in tfidf_top_terms(docs, k=3).collect()
+    }
+    # doc0: a(tf3) then the tf-1 tie b/c breaks on token asc
+    assert [rows[(0, p)]["tok"] for p in (1, 2, 3)] == ["a", "b", "c"]
+    # doc1: b(tf2), then d (df=1) outranks a (df=2) at equal tf
+    assert [rows[(1, p)]["tok"] for p in (1, 2, 3)] == ["b", "d", "a"]
+    # doc2 has only two distinct terms -> two rows
+    assert (2, 3) not in rows
+    assert [rows[(2, p)]["tok"] for p in (1, 2)] == ["e", "c"]
+    assert rows[(0, 1)]["tfidf"] == round(3 * math.log(3 / 2), 4)
+    assert rows[(1, 2)]["tfidf"] == round(1 * math.log(3 / 1), 4)
+    assert rows[(0, 1)]["tf"] == 3 and rows[(0, 1)]["df"] == 2
