@@ -203,6 +203,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("url", "host")
         )
 
+    def a17(spark, sf):
+        """Tumbling 1-hour event rollup (counts, distinct users,
+        value totals) — the batch run of the streaming
+        windowed_event_rollup definition (its stream form is equated
+        to this exact code in tests/test_streaming.py)."""
+        from scrapetition_spark.streaming.ingest import windowed_event_rollup
+
+        return windowed_event_rollup(_t(spark, sf, "events"))
+
     def c1(spark, sf):
         u = urls_from_documents(_t(spark, sf, "documents"))
         w = Window.partitionBy("host").orderBy("discovery_epoch", "seq")
@@ -667,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_concomitance": a14,
         "a15_set_ops": a15,
         "a16_pagerank": a16,
+        "a17_windowed_rollup": a17,
         "c1_due_set": c1,
         "c3_frontier_merge_fifo": c3,
         "c5_unseen_bloom": c5,
@@ -1324,6 +1334,16 @@ def oracle_sql() -> dict[str, str]:
               (SELECT count(DISTINCT host) FROM urls) AS n_hosts
         """,
         "a16_pagerank": _pagerank_oracle_sql(),
+        "a17_windowed_rollup": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
         "c1_due_set": f"""
             WITH {_URLS_CTE.strip()},
             ranked AS (

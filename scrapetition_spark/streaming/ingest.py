@@ -303,3 +303,51 @@ def stream_seen_counts(
             "n_urls",
         )
     )
+
+
+def windowed_event_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    with_users: bool = True,
+) -> DataFrame:
+    """Tumbling-window event rollup — counts, value totals and
+    (optionally) distinct actors per (window, event_type). One
+    definition serves both execution modes: on a stream the watermark
+    bounds state (late rows inside the horizon still update their
+    window, state past it is dropped); on a static frame
+    ``withWatermark`` is a documented no-op, so the batch run of the
+    SAME code is what the streaming test equates against (and the
+    driver hash-checks against DuckDB ``time_bucket``).
+
+    ``with_users=False`` is the streaming form: distinct aggregation
+    is unsupported inside a streaming groupBy, so the exact
+    distinct-user count is batch-only (a stream wanting it chains a
+    second windowed agg over ``window_time`` or accepts
+    ``approx_count_distinct`` — both documented trade-offs, neither
+    silently substituted here).
+
+    Scale shape: a hash aggregate on (window, event_type) — map-side
+    partials per input partition, one shuffle of partials."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ]
+    if with_users:
+        aggs.insert(1, F.countDistinct("user_id").alias("n_users"))
+    # watermarks require TIMESTAMP (LTZ); parquet testdata is NTZ.
+    # The session timezone is pinned UTC (session.py), so the LTZ
+    # round-trip is value-preserving; the output goes back to NTZ so
+    # batch/oracle comparisons stay timezone-naive.
+    out = (
+        events.withColumn("__ts", F.col("ts").cast("timestamp"))
+        .withWatermark("__ts", watermark)
+        .groupBy(F.window("__ts", window).alias("w"), "event_type")
+        .agg(*aggs)
+    )
+    cols = ["n_events"] + (["n_users"] if with_users else []) + ["sum_value"]
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        *cols,
+    )

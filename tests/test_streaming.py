@@ -215,3 +215,72 @@ def test_stream_ingest_dedup_gate(spark):
     assert {d: (v[0], v[3]) for d, v in one.items()} == {
         d: (v[0], v[3]) for d, v in got.items()
     }
+
+
+def test_windowed_rollup_stream_equals_batch(spark):
+    """The SAME windowed_event_rollup definition, run as a real
+    file-source stream (3 micro-batches, append mode, watermark 2h)
+    and as a batch frame: every emitted streaming row must equal its
+    batch twin exactly, and append mode must have emitted every
+    window the final watermark closed (end < max_ts - 2h)."""
+    from scrapetition_spark.streaming.ingest import windowed_event_rollup
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .orderBy("event_id")
+        .limit(600)
+        .localCheckpoint()
+    )
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_rollup(events, with_users=False).collect()
+    }
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+
+    min_ts = events.agg(F.min("ts")).collect()[0][0]
+    third = (max_ts - min_ts) / 3
+    with tempfile.TemporaryDirectory() as d:
+        # three files -> three micro-batches under maxFilesPerTrigger=1.
+        # Split by TIME, not id: micro-batch order must roughly follow
+        # event time or rows older than the advancing watermark are
+        # (correctly) dropped as too-late and append under-counts.
+        for i in range(3):
+            lo = min_ts + i * third
+            hi = max_ts if i == 2 else min_ts + (i + 1) * third
+            part = events.filter(
+                (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+                if i == 2
+                else (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+            )
+            part.coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = windowed_event_rollup(stream, with_users=False)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("rollup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM rollup_stream").collect()
+        }
+
+    assert got, "stream emitted nothing"
+    # exactness: every emitted row is the batch row
+    for k, v in got.items():
+        assert batch[k] == v, k
+    # completeness: every window the watermark closed was emitted
+    horizon = max_ts - dt.timedelta(hours=2)
+    closed = {
+        k
+        for k in batch
+        if k[0] + dt.timedelta(hours=1) < horizon
+    }
+    assert closed <= set(got)
