@@ -461,6 +461,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.filter(F.col("doc_id") % 10 == 7),
         )
 
+    def s4(spark, sf):
+        """Fixed-iteration spherical k-means: deterministic md5
+        init, 2 Lloyd rounds, centroid components rounded before
+        every re-assign so the iteration is engine-identical."""
+        return S.kmeans_assign(_t(spark, sf, "embeddings"), k=8, n_iter=2)
+
     def d10(spark, sf):
         """SemDedup: IVF-cell clustering + within-cell cosine prune —
         per-vector keep/dup_of decisions; the pairwise pass is
@@ -704,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t12_tfidf_terms": t12,
         "s2b_ann_recall": s2b,
         "s3b_ann_recall": s3b,
+        "s4_kmeans": s4,
         "m1_media_metadata": m1,
         "m2_media_decode": m2,
         "m3_media_features": m3,
@@ -738,6 +745,63 @@ FIXTURE_START_DOMAIN = "www.zeit.de"
 
 def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2) -> str:
+    """Unrolled Lloyd twin of similarity.kmeans_assign: md5-sample
+    init, per-iteration (argmax-assign, mean-update) with centroid
+    components rounded to 6 BEFORE the next assign — the rounding is
+    what makes each iteration's argmax engine-identical."""
+    ctes = [
+        f"""cents0 AS (
+              SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c_emb
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})"""
+    ]
+    for t in range(n_iter):
+        ctes.append(
+            f"""asg{t} AS (
+              SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.c_emb), 6) DESC,
+                           c.cell ASC) AS rn
+                FROM embeddings e CROSS JOIN cents{t} c)
+              WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""comp{t} AS (
+              SELECT a.cell,
+                     generate_subscripts(e.embedding, 1) AS pos,
+                     unnest(CAST(e.embedding AS DOUBLE[])) AS v
+              FROM asg{t} a JOIN embeddings e ON a.vec_id = e.vec_id)"""
+        )
+        ctes.append(
+            f"""cents{t + 1} AS (
+              SELECT cell, list(round(m, 6) ORDER BY pos) AS c_emb
+              FROM (SELECT cell, pos, avg(v) AS m
+                    FROM comp{t} GROUP BY cell, pos)
+              GROUP BY cell)"""
+        )
+    return (
+        "WITH "
+        + ",\n            ".join(ctes)
+        + f"""
+            -- reported csim is single-rounded from the raw cosine;
+            -- the rank key alone uses the 6-rounded value (re-rounding
+            -- 6->4 lands on exact .5 boundaries where engines diverge)
+            SELECT vec_id, cell, csim FROM (
+              SELECT e.vec_id, c.cell,
+                     round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), c.c_emb), 4) AS csim,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), c.c_emb), 6) DESC,
+                         c.cell ASC) AS rn
+              FROM embeddings e CROSS JOIN cents{n_iter} c)
+            WHERE rn = 1 ORDER BY vec_id"""
+    )
 
 
 def _pagerank_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
@@ -1644,6 +1708,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN sets sn ON c.new_doc = sn.doc_id
               JOIN sets sc ON c.corpus_doc = sc.doc_id)
         """,
+        "s4_kmeans": _kmeans_oracle_sql(),
         "d10_semantic_dedup": """
             WITH cents AS (
               -- same hash-spread anchors as the s3 twin

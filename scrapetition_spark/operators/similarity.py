@@ -325,3 +325,88 @@ def ann_lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos", "rnk")
     )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    round_to: int = 6,
+    sim_round_to: int = 4,
+) -> DataFrame:
+    """Fixed-iteration spherical k-means (Lloyd) with bit-reproducible
+    cross-engine semantics — the clustering layer a SemDedup/IVF
+    pipeline upgrades to when hash-sampled anchors aren't enough.
+
+    - **Init** is the deterministic hash-spread sample
+      (``ivf_anchors``: smallest md5(vec_id) hex), so no RNG state.
+    - **Assign** reuses ``ivf_assign`` (broadcast anchors, cosine
+      argmax as a ``min_by`` hash agg, cosines rounded before the
+      argmax, ties to the smaller cell label).
+    - **Update** computes the element-wise member mean via
+      ``posexplode`` → (cell, pos) hash aggregate → re-packed array,
+      each component ROUNDED to ``round_to`` before the next assign:
+      FP summation order differs between engines (and between Spark
+      partitionings), so the rounding is what makes every
+      iteration's argmax — not just the final output — identical
+      everywhere. Cosine against the unnormalized mean equals cosine
+      against the normalized spherical centroid, so no sqrt/renorm
+      step is needed.
+    - Cells keep their original anchor vec_id as a stable label; a
+      cell that loses all members simply has no centroid next round
+      (both engines drop it identically).
+
+    Scale shape per iteration: one broadcast-anchor pass (O(n·k)
+    JVM-side), one map-side-combining (cell, pos) aggregate — dims
+    are bounded, so the agg key space is k·dim — and one k-row
+    collect back to a broadcast. No corpus shuffle at any point;
+    lineage is truncated per round.
+
+    Returns (vec_id, cell, csim) — final assignment + rounded cosine
+    to the final centroid.
+    """
+    if n_iter < 1:
+        raise ValueError(f"kmeans_assign: n_iter must be >= 1, got {n_iter}")
+    cents = ivf_anchors(embeddings, k).select(
+        "cell", F.transform("c_emb", lambda v: v.cast("double")).alias("c_emb")
+    )
+    for _ in range(n_iter):
+        asg = ivf_assign(embeddings, k, round_to=round_to, cents=cents)
+        comp = asg.select(
+            "cell", F.posexplode(F.col("embedding")).alias("pos", "v")
+        )
+        cents = (
+            comp.groupBy("cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cell",
+                F.transform(F.col("pm"), lambda s: F.round(s["m"], round_to)).alias(
+                    "c_emb"
+                ),
+            )
+            .localCheckpoint()  # k rows; truncates the per-round lineage
+        )
+    # The argmax key is the round_to-rounded cosine (engine-identical
+    # ordering) but the REPORTED csim is rounded once, from the raw
+    # double: re-rounding an already-rounded value (6 → 4) lands on
+    # exact .5 boundaries ~1% of the time, where engines' rounding
+    # modes legitimately diverge — single rounding never does.
+    raw = cosine(F.col("embedding"), F.col("c_emb"))
+    final = embeddings.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        F.round(raw, round_to).alias("c6"),
+        F.round(raw, sim_round_to).alias("c4"),
+    )
+    key = F.struct((-F.col("c6")).alias("s"), F.col("cell").alias("c"))
+    return (
+        final.groupBy("vec_id")
+        .agg(F.min_by(F.struct("cell", "c4"), key).alias("__r"))
+        .select(
+            "vec_id",
+            F.col("__r.cell").alias("cell"),
+            F.col("__r.c4").alias("csim"),
+        )
+    )

@@ -781,3 +781,69 @@ def test_tfidf_top_terms_planted(spark):
     assert rows[(0, 1)]["tfidf"] == round(3 * math.log(3 / 2), 4)
     assert rows[(1, 2)]["tfidf"] == round(1 * math.log(3 / 1), 4)
     assert rows[(0, 1)]["tf"] == 3 and rows[(0, 1)]["df"] == 2
+
+
+def test_kmeans_matches_numpy_replica(spark, emb):
+    """kmeans_assign equals an independent NumPy Lloyd replica
+    (md5-sample init, rounded-argmax assign, rounded-mean update) —
+    every assignment and rounded csim, not just cluster sizes."""
+    import hashlib
+
+    import numpy as np
+
+    from scrapetition_spark.operators.similarity import kmeans_assign
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    sub = emb.limit(60).localCheckpoint()
+    data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in sub.collect()}
+    k, n_iter = 4, 2
+
+    def r(x, n):
+        # Spark's F.round on doubles: shortest-repr + HALF_UP (NOT
+        # numpy/python banker's rounding — they diverge at .5 tails)
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal(f"1e-{n}"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    anchors = sorted(data, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v))[:k]
+    cents = {a: data[a].copy() for a in anchors}
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    def assign(cents):
+        out = {}
+        for vid, v in data.items():
+            best = min(
+                ((-r(cos(v, c), 6), cell) for cell, c in cents.items())
+            )
+            out[vid] = best[1]
+        return out
+
+    for _ in range(n_iter):
+        asg = assign(cents)
+        cents = {}
+        for cell in set(asg.values()):
+            members = np.stack([data[v] for v, c in asg.items() if c == cell])
+            cents[cell] = np.array([r(m, 6) for m in members.mean(axis=0)])
+    expected = {
+        vid: (cell, r(cos(data[vid], cents[cell]), 4))
+        for vid, cell in assign(cents).items()
+    }
+
+    got = {
+        r["vec_id"]: (r["cell"], r["csim"])
+        for r in kmeans_assign(sub, k=k, n_iter=n_iter).collect()
+    }
+    assert got == expected
+
+
+def test_kmeans_rejects_zero_iterations(spark, emb):
+    from scrapetition_spark.operators.similarity import kmeans_assign
+
+    with pytest.raises(ValueError):
+        kmeans_assign(emb, n_iter=0)
