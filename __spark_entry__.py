@@ -212,6 +212,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return windowed_event_rollup(_t(spark, sf, "events"))
 
+    def a18(spark, sf):
+        """Per-user 30-minute-gap sessionization via the engine's
+        native session_window; oracle = independent lag/gap-sum
+        gap-and-islands SQL."""
+        return A.a18_user_sessions(_t(spark, sf, "events"))
+
     def c1(spark, sf):
         u = urls_from_documents(_t(spark, sf, "documents"))
         w = Window.partitionBy("host").orderBy("discovery_epoch", "seq")
@@ -683,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_set_ops": a15,
         "a16_pagerank": a16,
         "a17_windowed_rollup": a17,
+        "a18_user_sessions": a18,
         "c1_due_set": c1,
         "c3_frontier_merge_fifo": c3,
         "c5_unseen_bloom": c5,
@@ -1407,6 +1414,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "a18_user_sessions": """
+            WITH marked AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts) <= INTERVAL 30 MINUTE
+                          THEN 0 ELSE 1 END AS new_session
+              FROM events),
+            islands AS (
+              SELECT user_id, ts, value,
+                     sum(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked)
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM islands
+            GROUP BY user_id, sid
+            ORDER BY user_id, session_start
         """,
         "c1_due_set": f"""
             WITH {_URLS_CTE.strip()},

@@ -110,6 +110,12 @@ def main() -> None:
         "p2_full_pipeline",
         "d8_segment_dedup",
         "t10_epoch_shuffle",
+        # session additions: the two iterative operators (10-round
+        # PageRank over the 15k-edge link graph, 2-round Lloyd) and
+        # the cell-local semantic dedup
+        "a16_pagerank",
+        "s4_kmeans",
+        "d10_semantic_dedup",
     ]
     qs = E.queries()
     times: dict[str, float] = {}

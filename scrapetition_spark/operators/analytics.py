@@ -293,3 +293,44 @@ def a3_graph_bfs(orders, lineitem, start_custkey: int = 1, max_depth: int = 2) -
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.groupBy("depth").agg(F.count(F.lit(1)).alias("n_nodes")).orderBy("depth")
+
+
+def a18_user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user event sessionization: events closer than
+    ``gap_minutes`` chain into one session (the classic behavioral
+    gap-and-islands rollup a crawl/clickstream pipeline needs before
+    any per-session statistics).
+
+    Spark-first: ``F.session_window`` — the engine's native session
+    assignment — grouped per user; the aggregate is one hash agg over
+    (user, session_window), map-side partial like any other groupBy.
+    The windowed state never crosses users, so the shuffle key is
+    (user_id, window) — maximal cardinality, skew-free. The SAME
+    expression is streamable (session_window + watermark) — this
+    batch form is what the driver oracle-checks against a
+    lag/gap-sum gap-and-islands DuckDB twin (semantically identical
+    formulations, independently derived).
+
+    ``session_end`` is reported as max(ts) (the last event), NOT the
+    gap-padded window end — the padded end differs by exactly
+    ``gap_minutes`` and carries no information.
+    """
+    ts = F.col("ts").cast("timestamp")
+    return (
+        events.groupBy(
+            "user_id",
+            F.session_window(ts, f"{gap_minutes} minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(ts).alias("last_ts"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("last_ts").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -466,3 +466,38 @@ def test_merge_insert_spec_meta_survives_crashed_consolidation(spark, tmp_path):
     assert cat.get_meta("items").get("bucket_spec") == spec_b
     # MERGE semantics intact across the crash + retry: 60 distinct keys
     assert cat.read("items", df.schema).count() == 60
+
+
+def test_user_sessions_gap_semantics(spark):
+    """Sessionization boundary pin: an event at exactly last_ts + gap
+    MERGES (Spark session_window closes the gap interval — the DuckDB
+    twin's <= matches this), one past it splits; multi-session trace
+    is hand-checked."""
+    import datetime as dt
+
+    from scrapetition_spark.operators.analytics import a18_user_sessions
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def m(minutes, seconds=0):
+        return t0 + dt.timedelta(minutes=minutes, seconds=seconds)
+
+    rows = [
+        # user 1: exact-gap chain -> ONE session of 3
+        (1, t0, 1.0), (1, m(30), 2.0), (1, m(60), 3.0),
+        # user 2: one second past the gap -> split 1 + 1
+        (2, t0, 1.0), (2, m(30, 1), 2.0),
+        # user 3: two sessions of 2, clearly separated
+        (3, t0, 1.0), (3, m(5), 1.0), (3, m(120), 1.0), (3, m(121), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_end"], r["sum_value"])
+        for r in a18_user_sessions(df, gap_minutes=30).collect()
+    }
+    assert got[(1, t0)] == (3, m(60), 6.0)
+    assert len([k for k in got if k[0] == 1]) == 1
+    assert got[(2, t0)] == (1, t0, 1.0)
+    assert got[(2, m(30, 1))] == (1, m(30, 1), 2.0)
+    assert got[(3, t0)] == (2, m(5), 2.0)
+    assert got[(3, m(120))] == (2, m(121), 2.0)
