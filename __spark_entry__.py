@@ -498,6 +498,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         average."""
         return T.unigram_lm_scores(_t(spark, sf, "documents"))
 
+    def t13(spark, sf):
+        """Per-language exact length percentiles + totals (corpus
+        profile for threshold setting)."""
+        return T.length_stats(_t(spark, sf, "documents"))
+
     def t12(spark, sf):
         """Per-doc top-3 TF-IDF terms, ranked by the integer-exact
         (tf DESC, df ASC, tok ASC) key; the floating score is
@@ -715,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_epoch_shuffle": t10,
         "t11_lm_scores": t11,
         "t12_tfidf_terms": t12,
+        "t13_length_stats": t13,
         "s2b_ann_recall": s2b,
         "s3b_ann_recall": s3b,
         "s4_kmeans": s4,
@@ -1825,6 +1831,17 @@ def oracle_sql() -> dict[str, str]:
                      AS keep
             FROM toks JOIN vb USING (tok)
             GROUP BY doc_id
+        """,
+        "t13_length_stats": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 4) AS p99
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "t12_tfidf_terms": """
             WITH toks AS (

@@ -522,3 +522,31 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
             "pos",
         )
     )
+
+
+def length_stats(docs: DataFrame) -> DataFrame:
+    """Per-language exact length percentiles (p50/p90/p99), min/max
+    and totals — the corpus profile a pipeline consults before
+    setting quality-filter thresholds.
+
+    Exact (not approx) percentiles on purpose: ``F.percentile`` is a
+    single-pass sort-based aggregate per group, and language groups
+    are few — the right trade at any scale when the group count is
+    bounded (use percentile_approx only when the GROUP key is
+    unbounded). Interpolation is the classical linear rule in both
+    engines (Spark `percentile` ≙ DuckDB `quantile_cont`), rounded
+    once at 4."""
+    pct = F.percentile(F.col("n_chars"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(pct[0], 4).alias("p50"),
+            F.round(pct[1], 4).alias("p90"),
+            F.round(pct[2], 4).alias("p99"),
+        )
+        .orderBy("lang")
+    )

@@ -847,3 +847,20 @@ def test_kmeans_rejects_zero_iterations(spark, emb):
 
     with pytest.raises(ValueError):
         kmeans_assign(emb, n_iter=0)
+
+
+def test_length_stats_exact_interpolation(spark):
+    """Exact linear-interpolated percentiles on a hand-computable
+    group: values 10,20,30,40 -> p50 = 25.0, p90 = 37.0."""
+    from scrapetition_spark.operators.text import length_stats
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "s", v) for i, v in enumerate([10, 20, 30, 40])],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = length_stats(docs).collect()[0]
+    assert (r["lang"], r["n_docs"], r["total_chars"]) == ("en", 4, 100)
+    assert (r["min_chars"], r["max_chars"]) == (10, 40)
+    assert r["p50"] == 25.0
+    assert r["p90"] == pytest.approx(37.0)
+    assert r["p99"] == pytest.approx(39.7)
