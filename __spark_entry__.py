@@ -587,6 +587,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             u, "NOT is_seen AND priority < 3", select="url, host, priority"
         )
 
+    def p3(spark, sf):
+        """Training-data MATERIALIZATION plan: the p2 kept set
+        (dedup ∩ quality ∩ repetition ∩ decontamination ∩ sampling)
+        flows straight into sequence packing (per-stream token tapes,
+        t8) and the epoch-1 global shuffle permutation (t10) — one
+        composed plan emitting, per surviving document, where its
+        tokens land (stream/seq/offset) and when the data loader
+        visits it (shuffle_pos). Each stage is individually
+        oracle-verified; this key verifies the composition."""
+        docs = _t(spark, sf, "documents")
+        kept = p2(spark, sf).select("doc_id")
+        kept_docs = docs.join(kept, ["doc_id"], "left_semi")
+        packed = T.pack_sequences(kept_docs)
+        shuf = T.epoch_shuffle(kept_docs, epoch=1).select(
+            "doc_id", "shuffle_pos"
+        )
+        return packed.join(shuf, ["doc_id"]).select(
+            "doc_id", "stream", "n_tokens", "first_seq",
+            "offset_in_seq", "n_seqs_spanned", "shuffle_pos",
+        )
+
     def crawl_epoch(spark, sf):
         """Sequential reference-order crawl of the deterministic
         fixture site: the engine's (url, fetch_seq, epoch, status)
@@ -732,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_ann_ivf": s3,
         "p1_clean_corpus": p1,
         "p2_full_pipeline": p2,
+        "p3_materialization": p3,
         "t1_quality_scores": t1,
         "t2_token_counts": t2,
         "t3_fingerprints": t3,
@@ -1953,6 +1975,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_tokens >= 10 AND looks_english
         """,
         "p2_full_pipeline": _full_pipeline_oracle(),
+        "p3_materialization": f"""
+            WITH kept AS ({_full_pipeline_oracle()}),
+            s AS (
+              SELECT k.doc_id,
+                     CAST(k.n_tokens AS BIGINT) AS n_tokens,
+                     ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       % 8 AS stream
+              FROM kept k),
+            c AS (
+              SELECT doc_id, stream, n_tokens,
+                     CAST(COALESCE(sum(n_tokens) OVER (
+                       PARTITION BY stream ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum_before
+              FROM s),
+            shuf AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       ORDER BY md5('1|' || CAST(doc_id AS VARCHAR)), doc_id
+                     ) - 1 AS shuffle_pos
+              FROM kept)
+            SELECT c.doc_id, c.stream, c.n_tokens,
+                   cum_before // 512 AS first_seq,
+                   cum_before % 512 AS offset_in_seq,
+                   ((cum_before + c.n_tokens - 1) // 512)
+                     - (cum_before // 512) + 1 AS n_seqs_spanned,
+                   shuf.shuffle_pos
+            FROM c JOIN shuf ON c.doc_id = shuf.doc_id
+            ORDER BY c.doc_id
+        """,
         "s3_ann_ivf": """
             WITH cents AS (
               -- hash-spread deterministic anchor sample, mirroring

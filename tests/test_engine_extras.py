@@ -501,3 +501,24 @@ def test_user_sessions_gap_semantics(spark):
     assert got[(2, m(30, 1))] == (1, m(30, 1), 2.0)
     assert got[(3, t0)] == (2, m(5), 2.0)
     assert got[(3, m(120))] == (2, m(121), 2.0)
+
+
+def test_p3_materialization_invariants(spark):
+    """The composed materialization plan: shuffle_pos is a contiguous
+    permutation of the kept set, and each stream's packing offsets
+    re-derive exactly from the running token sum."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["p3_materialization"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    pos = sorted(r["shuffle_pos"] for r in rows)
+    assert pos == list(range(len(rows)))
+    by_stream = {}
+    for r in sorted(rows, key=lambda r: (r["stream"], r["doc_id"])):
+        cum = by_stream.get(r["stream"], 0)
+        assert r["first_seq"] == cum // 512
+        assert r["offset_in_seq"] == cum % 512
+        assert r["n_seqs_spanned"] == (cum + r["n_tokens"] - 1) // 512 - cum // 512 + 1
+        by_stream[r["stream"]] = cum + r["n_tokens"]
