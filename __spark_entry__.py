@@ -598,7 +598,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         oracle-verified; this key verifies the composition."""
         docs = _t(spark, sf, "documents")
         kept = p2(spark, sf).select("doc_id")
-        kept_docs = docs.join(kept, ["doc_id"], "left_semi")
+        # materialize the kept set once: both the packing and the
+        # shuffle branch consume it, and without this the whole p2
+        # subtree (dedup agg + decontamination joins) runs twice
+        kept_docs = docs.join(kept, ["doc_id"], "left_semi").localCheckpoint()
         packed = T.pack_sequences(kept_docs)
         shuf = T.epoch_shuffle(kept_docs, epoch=1).select(
             "doc_id", "shuffle_pos"
@@ -845,7 +848,12 @@ def _pagerank_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
     pr0 = uniform, pr{k+1} = (1-d)/n + d * Σ in-contributions. The
     iteration count and damping are literals in both engines; only
     the output is rounded (n-normalized rank, 6 decimals)."""
-    base = round(1.0 - damping, 10)
+    # repr() of the engine's own binary double (graph.pagerank
+    # computes 1.0 - damping at runtime: 1.0-0.85 is
+    # 0.15000000000000002); a hand-rounded 0.15 literal differs by
+    # 1 ulp — enough to flip a 6th-decimal output rounding at some
+    # corpus size
+    base = repr(1.0 - damping)
     ctes = [
         "nn AS (SELECT count(*) AS n FROM documents)",
         "nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents)",

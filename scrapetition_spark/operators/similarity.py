@@ -139,6 +139,7 @@ def ivf_assign(
     n_cells: int = 16,
     round_to: int = 6,
     cents: DataFrame | None = None,
+    sim_round_to: int | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: deterministic hash-sampled anchors
     (``ivf_anchors``), every vector assigned to its max-cosine cell
@@ -152,21 +153,34 @@ def ivf_assign(
     row_number window, which would sort-shuffle on the
     high-cardinality vec_id (VERDICT r03 #6). Callers that already
     hold the anchor frame pass it as ``cents`` so the corpus-wide
-    anchor TakeOrdered runs once, not once per call site."""
+    anchor TakeOrdered runs once, not once per call site.
+
+    ``sim_round_to`` additionally reports the winning cosine as a
+    ``csim`` column, rounded ONCE from the raw double at that
+    precision (never re-rounded from the argmax key — double
+    rounding lands on exact .5 boundaries where engines' rounding
+    modes diverge). Callers needing the reported similarity share
+    this one argmax rule instead of re-implementing the tie-break."""
     if cents is None:
         cents = ivf_anchors(embeddings, n_cells)
-    sims = embeddings.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cell",
-        F.round(cosine(F.col("embedding"), F.col("c_emb")), round_to).alias("csim"),
-    )
-    key = F.struct((-F.col("csim")).alias("s"), F.col("cell").alias("c"))
-    return (
+    raw = cosine(F.col("embedding"), F.col("c_emb"))
+    cols = [
+        F.col("vec_id"),
+        F.col("embedding"),
+        F.col("cell"),
+        F.round(raw, round_to).alias("csim_key"),
+    ]
+    payload = ["embedding", "cell"]
+    if sim_round_to is not None:
+        cols.append(F.round(raw, sim_round_to).alias("csim"))
+        payload.append("csim")
+    sims = embeddings.crossJoin(F.broadcast(cents)).select(*cols)
+    key = F.struct((-F.col("csim_key")).alias("s"), F.col("cell").alias("c"))
+    out = (
         sims.groupBy("vec_id")
-        .agg(F.min_by(F.struct("embedding", "cell"), key).alias("__r"))
-        .select("vec_id", "__r.embedding", "__r.cell")
+        .agg(F.min_by(F.struct(*payload), key).alias("__r"))
     )
+    return out.select("vec_id", *[f"__r.{c}" for c in payload])
 
 
 def ann_ivf_topk(
@@ -388,25 +402,9 @@ def kmeans_assign(
             )
             .localCheckpoint()  # k rows; truncates the per-round lineage
         )
-    # The argmax key is the round_to-rounded cosine (engine-identical
-    # ordering) but the REPORTED csim is rounded once, from the raw
-    # double: re-rounding an already-rounded value (6 → 4) lands on
-    # exact .5 boundaries ~1% of the time, where engines' rounding
-    # modes legitimately diverge — single rounding never does.
-    raw = cosine(F.col("embedding"), F.col("c_emb"))
-    final = embeddings.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cell",
-        F.round(raw, round_to).alias("c6"),
-        F.round(raw, sim_round_to).alias("c4"),
-    )
-    key = F.struct((-F.col("c6")).alias("s"), F.col("cell").alias("c"))
-    return (
-        final.groupBy("vec_id")
-        .agg(F.min_by(F.struct("cell", "c4"), key).alias("__r"))
-        .select(
-            "vec_id",
-            F.col("__r.cell").alias("cell"),
-            F.col("__r.c4").alias("csim"),
-        )
-    )
+    # final assignment shares ivf_assign's argmax + tie-break rule
+    # (one source of truth); csim is single-rounded from the raw
+    # cosine by ivf_assign's sim_round_to path
+    return ivf_assign(
+        embeddings, k, round_to=round_to, cents=cents, sim_round_to=sim_round_to
+    ).select("vec_id", "cell", "csim")

@@ -253,6 +253,19 @@ def test_windowed_rollup_stream_equals_batch(spark):
                 else (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
             )
             part.coalesce(1).write.mode("append").parquet(d)
+        # FileStreamSource orders micro-batches by mtime; three quick
+        # writes can tie on coarse-mtime filesystems and scramble the
+        # time order (older slices would then drop as late). Stamp
+        # strictly increasing mtimes by each file's time slice.
+        import glob as _glob
+        import os as _os
+
+        for f in _glob.glob(f"{d}/part-*.parquet"):
+            part_min = (
+                spark.read.parquet(f).agg(F.min("ts")).collect()[0][0]
+            )
+            t = part_min.timestamp()
+            _os.utime(f, (t, t))
         stream = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", 1)
