@@ -678,7 +678,10 @@ def semantic_dedup(
     """
     from scrapetition_spark.operators.similarity import cosine, ivf_assign
 
-    assigned = ivf_assign(embeddings, n_cells)
+    # materialize the assignment once: both sides of the cell-local
+    # self-join and the final re-attach consume it — without this the
+    # O(n·k) quantizer pass (and its corpus scans) runs three times
+    assigned = ivf_assign(embeddings, n_cells).localCheckpoint()
     a = assigned.select(
         F.col("cell").alias("cell_a"),
         F.col("vec_id").alias("vec_a"),
