@@ -203,6 +203,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("url", "host")
         )
 
+    def a19(spark, sf):
+        """HITS hub/authority over the same link graph as a16 —
+        L1-normalized half-steps, mid-iteration rounding for
+        engine-identical fixpoints."""
+        from scrapetition_spark.operators.corpus import link_graph_from_documents
+        from scrapetition_spark.operators.graph import hits
+
+        docs = _t(spark, sf, "documents")
+        n = docs.count()
+        edges = link_graph_from_documents(docs, n)
+        nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+        return hits(edges, nodes=nodes, n_iter=8)
+
     def a17(spark, sf):
         """Tumbling 1-hour event rollup (counts, distinct users,
         value totals) — the batch run of the streaming
@@ -718,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_set_ops": a15,
         "a16_pagerank": a16,
         "a17_windowed_rollup": a17,
+        "a19_hits": a19,
         "a18_user_sessions": a18,
         "c1_due_set": c1,
         "c3_frontier_merge_fifo": c3,
@@ -783,6 +797,75 @@ FIXTURE_START_DOMAIN = "www.zeit.de"
 
 def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+# the deterministic link graph (corpus.link_graph_from_documents) as
+# oracle CTEs — shared verbatim by the a16 (pagerank) and a19 (HITS)
+# twins so the two rankings are provably over the same graph
+_LINKGRAPH_CTES = [
+    "nn AS (SELECT count(*) AS n FROM documents)",
+    "nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents)",
+    """edges AS (
+              -- identical arithmetic to corpus.link_graph_from_documents:
+              -- always (d+1)%n; quadratic (d*d+1)%n when d%3!=0 (the
+              -- in-degree skew); (7d+3)%n when d%5<3
+              SELECT CAST(doc_id AS BIGINT) AS src,
+                     (CAST(doc_id AS BIGINT) + 1) % nn.n AS dst
+              FROM documents, nn
+              UNION ALL
+              SELECT CAST(doc_id AS BIGINT),
+                     (CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT) + 1) % nn.n
+              FROM documents, nn WHERE doc_id % 3 != 0
+              UNION ALL
+              SELECT CAST(doc_id AS BIGINT),
+                     (CAST(doc_id AS BIGINT) * 7 + 3) % nn.n
+              FROM documents, nn WHERE doc_id % 5 < 3)""",
+]
+
+
+def _hits_oracle_sql(n_iter: int = 8) -> str:
+    """Unrolled HITS twin of operators/graph.hits: L1-normalized
+    half-steps, every normalized score rounded to 6 before the next
+    half-step (the same mid-iteration rounding the engine does)."""
+    ctes = list(_LINKGRAPH_CTES)
+    ctes.append("h0 AS (SELECT node, 1.0 / nn.n AS hub FROM nodes, nn)")
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"""a{t}raw AS MATERIALIZED (
+              SELECT nd.node, coalesce(s.a, 0) AS authority
+              FROM nodes nd
+              LEFT JOIN (SELECT e.dst AS node, sum(h.hub) AS a
+                         FROM h{t - 1} h JOIN edges e ON e.src = h.node
+                         GROUP BY e.dst) s ON nd.node = s.node)"""
+        )
+        ctes.append(
+            f"""a{t} AS MATERIALIZED (
+              SELECT node, round(authority /
+                (SELECT sum(authority) FROM a{t}raw), 6) AS authority
+              FROM a{t}raw)"""
+        )
+        ctes.append(
+            f"""h{t}raw AS MATERIALIZED (
+              SELECT nd.node, coalesce(s.h, 0) AS hub
+              FROM nodes nd
+              LEFT JOIN (SELECT e.src AS node, sum(a.authority) AS h
+                         FROM a{t} a JOIN edges e ON e.dst = a.node
+                         GROUP BY e.src) s ON nd.node = s.node)"""
+        )
+        ctes.append(
+            f"""h{t} AS MATERIALIZED (
+              SELECT node, round(hub /
+                (SELECT sum(hub) FROM h{t}raw), 6) AS hub
+              FROM h{t}raw)"""
+        )
+    return (
+        "WITH "
+        + ",\n            ".join(ctes)
+        + f"""
+            SELECT h.node, h.hub, a.authority
+            FROM h{n_iter} h JOIN a{n_iter} a ON h.node = a.node
+            ORDER BY h.node"""
+    )
 
 
 def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2) -> str:
@@ -854,24 +937,8 @@ def _pagerank_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
     # 1 ulp — enough to flip a 6th-decimal output rounding at some
     # corpus size
     base = repr(1.0 - damping)
-    ctes = [
-        "nn AS (SELECT count(*) AS n FROM documents)",
-        "nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents)",
-        """edges AS (
-              -- identical arithmetic to corpus.link_graph_from_documents:
-              -- always (d+1)%n; quadratic (d*d+1)%n when d%3!=0 (the
-              -- in-degree skew); (7d+3)%n when d%5<3
-              SELECT CAST(doc_id AS BIGINT) AS src,
-                     (CAST(doc_id AS BIGINT) + 1) % nn.n AS dst
-              FROM documents, nn
-              UNION ALL
-              SELECT CAST(doc_id AS BIGINT),
-                     (CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT) + 1) % nn.n
-              FROM documents, nn WHERE doc_id % 3 != 0
-              UNION ALL
-              SELECT CAST(doc_id AS BIGINT),
-                     (CAST(doc_id AS BIGINT) * 7 + 3) % nn.n
-              FROM documents, nn WHERE doc_id % 5 < 3)""",
+    ctes = list(_LINKGRAPH_CTES)
+    ctes += [
         "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
         """ew AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS w
                FROM edges e JOIN deg d ON e.src = d.src)""",
@@ -1441,6 +1508,7 @@ def oracle_sql() -> dict[str, str]:
               (SELECT count(DISTINCT host) FROM urls) AS n_hosts
         """,
         "a16_pagerank": _pagerank_oracle_sql(),
+        "a19_hits": _hits_oracle_sql(),
         "a17_windowed_rollup": """
             SELECT date_trunc('hour', ts) AS window_start,
                    event_type,

@@ -112,3 +112,86 @@ def pagerank(
     return ranks.select(
         "node", F.round(F.col("rank") * F.lit(float(n)), round_to).alias("nrank")
     )
+
+
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    n_iter: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999): hub/authority scores
+    over the link graph — the second classic authority signal next to
+    ``pagerank``, and the one that separates "links to good pages"
+    (hub) from "is linked by good hubs" (authority).
+
+    Engine-reproducible variant: L1 normalization (divide by the
+    score sum) instead of the textbook L2 — no sqrt, and the fixpoint
+    direction is identical (normalization only rescales) — with every
+    normalized score ROUNDED to ``round_to`` before the next
+    half-step, the same mid-iteration rounding discipline as
+    ``kmeans_assign`` centroids: FP summation order differs between
+    engines, rounding is what makes each iteration bit-identical
+    everywhere. The DuckDB twin unrolls the same half-steps.
+
+    Per iteration: two co-partitioned join + map-side-combining hash
+    aggregates (authority from in-edges, hub from out-edges) and two
+    1-row sums for the normalizers — no corpus-sized shuffle beyond
+    the edge joins; lineage truncated per half-step.
+
+    Returns (node, hub, authority), both L1-normalized (they sum to
+    1.0 · n's rounding) and rounded to ``round_to``.
+    """
+    if n_iter < 1:
+        raise ValueError(f"hits: n_iter must be >= 1, got {n_iter}")
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    nodes = nodes.select("node").localCheckpoint()
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    e = edges.select("src", "dst").localCheckpoint()
+
+    def _norm_round(scores: DataFrame, col: str) -> DataFrame:
+        total = scores.agg(F.sum(col).alias("__t"))
+        return (
+            scores.crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.round(F.col(col) / F.col("__t"), round_to).alias(col),
+            )
+            .localCheckpoint()
+        )
+
+    hub = nodes.select("node", F.lit(1.0 / n).alias("hub"))
+    auth = None
+    for _ in range(n_iter):
+        contrib = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("__a"))
+        )
+        auth = _norm_round(
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+                "node", F.coalesce(F.col("__a"), F.lit(0.0)).alias("authority")
+            ),
+            "authority",
+        )
+        back = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("authority").alias("__h"))
+        )
+        hub = _norm_round(
+            nodes.join(back, nodes["node"] == back["src"], "left").select(
+                "node", F.coalesce(F.col("__h"), F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+    return hub.join(auth, ["node"]).select("node", "hub", "authority")

@@ -92,3 +92,50 @@ def test_rejects_zero_iterations(spark):
     e = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank(e, n_iter=0)
+
+
+def _r_half_up(x, n):
+    """Spark F.round on doubles: shortest-repr + HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal(f"1e-{n}"), rounding=ROUND_HALF_UP)
+    )
+
+
+def test_hits_matches_numpy_replica(spark):
+    """HITS equals an independent row-at-a-time replica of the
+    L1-normalized rounded half-steps on a skewed graph, and the
+    known-structure sanity holds: the pure-authority sink has zero
+    hub score, the pure hub zero authority."""
+    from scrapetition_spark.operators.graph import hits
+
+    # 0,1,2 all point at 3 (authority); 0 also points at 1; 3 points
+    # nowhere. Node 4 isolated.
+    edges = [(0, 3), (1, 3), (2, 3), (0, 1)]
+    n = 5
+    hub = {i: 1.0 / n for i in range(n)}
+    auth = None
+    for _ in range(8):
+        raw_a = {i: sum(hub[s] for s, d in edges if d == i) for i in range(n)}
+        ta = sum(raw_a.values())
+        auth = {i: _r_half_up(raw_a[i] / ta, 6) for i in range(n)}
+        raw_h = {i: sum(auth[d] for s, d in edges if s == i) for i in range(n)}
+        th = sum(raw_h.values())
+        hub = {i: _r_half_up(raw_h[i] / th, 6) for i in range(n)}
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(e, nodes=nodes).collect()}
+    assert got == {i: (hub[i], auth[i]) for i in range(n)}
+    assert got[3] == (0.0, pytest.approx(got[3][1])) and got[3][1] > 0.5
+    assert got[4] == (0.0, 0.0)
+    assert got[0][0] > got[1][0] > 0  # 0 links to both targets
+
+
+def test_hits_rejects_zero_iterations(spark):
+    from scrapetition_spark.operators.graph import hits
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        hits(e, n_iter=0)
