@@ -333,3 +333,44 @@ def test_crawl_then_answer_and_cooccurrence(spark, site, docs):
         for r in cooccurrence_comments(named).collect()
     }
     assert got_cooc == dict(exp_cooc)
+
+
+def test_crawl_then_pagerank(spark, site, docs):
+    """Produce-then-rank: crawl the fixture, then PageRank the
+    actually-crawled url_edges table; expectation computed by an
+    independent pure-Python power iteration over the simulator's
+    edge set — the link-authority signal a frontier scheduler would
+    feed back as priority, end-to-end on real crawl output."""
+    from scrapetition_spark.operators.graph import pagerank
+
+    cfg = CrawlConfig("www.zeit.de", follow_links=True, politeness_sec=0,
+                      per_host_budget=4)
+    sim = simulate(site, [SEED], cfg)
+    eng, cat = _engine(spark, docs, cfg, use_bloom=True, expected_urls=4096)
+    eng.seed([SEED])
+    eng.run()
+
+    edges_df = cat.read("url_edges", URL_EDGES).select(
+        F.col("source").alias("src"), F.col("target").alias("dst")
+    )
+    got = {r["node"]: r["nrank"] for r in pagerank(edges_df).collect()}
+
+    # independent replica over the simulator's edges (leaky-mass,
+    # 10 iterations, nodes = distinct endpoints like pagerank derives)
+    sim_edges = sorted(set(sim.edges))
+    nodes = sorted({u for e in sim_edges for u in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in sim_edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(10):
+        nxt = {u: 0.15 / n for u in nodes}
+        for s, d in sim_edges:
+            nxt[d] += 0.85 * rank[s] / outdeg[s]
+        rank = nxt
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert got[u] == pytest.approx(rank[u] * n, abs=2e-6), u
+    # the seed article is linked by every comment page: top authority
+    assert max(got, key=got.get) == SEED or got[SEED] > 1.0
