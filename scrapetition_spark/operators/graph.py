@@ -164,7 +164,12 @@ def hits(
             scores.crossJoin(F.broadcast(total))
             .select(
                 "node",
-                F.round(F.col(col) / F.col("__t"), round_to).alias(col),
+                # an edgeless graph (or one whose every edge points
+                # outside `nodes`) sums to 0 — all-zero scores, not
+                # null-poisoned division
+                F.when(F.col("__t") == 0, F.lit(0.0))
+                .otherwise(F.round(F.col(col) / F.col("__t"), round_to))
+                .alias(col),
             )
             .localCheckpoint()
         )

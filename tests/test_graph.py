@@ -139,3 +139,14 @@ def test_hits_rejects_zero_iterations(spark):
     e = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):
         hits(e, n_iter=0)
+
+
+def test_hits_edgeless_graph_is_all_zero(spark):
+    """A node set with no usable edges yields all-zero scores, not a
+    null-poisoned division by the zero normalizer."""
+    from scrapetition_spark.operators.graph import hits
+
+    e = spark.createDataFrame([], "src long, dst long")
+    nodes = spark.createDataFrame([(0,), (1,)], "node long")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(e, nodes=nodes).collect()}
+    assert got == {0: (0.0, 0.0), 1: (0.0, 0.0)}
