@@ -203,6 +203,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("url", "host")
         )
 
+    def a20(spark, sf):
+        """Weekly cohort retention triangle over events (ISO-week
+        cohorts, distinct-user counts per offset)."""
+        return A.a20_cohort_retention(_t(spark, sf, "events"))
+
     def a19(spark, sf):
         """HITS hub/authority over the same link graph as a16 —
         L1-normalized half-steps, mid-iteration rounding for
@@ -732,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a16_pagerank": a16,
         "a17_windowed_rollup": a17,
         "a19_hits": a19,
+        "a20_cohort_retention": a20,
         "a18_user_sessions": a18,
         "c1_due_set": c1,
         "c3_frontier_merge_fifo": c3,
@@ -1509,6 +1515,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a16_pagerank": _pagerank_oracle_sql(),
         "a19_hits": _hits_oracle_sql(),
+        "a20_cohort_retention": """
+            WITH weeks AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('week', ts) AS DATE) AS week
+              FROM events),
+            coh AS (
+              SELECT user_id, min(week) AS cohort_week
+              FROM weeks GROUP BY user_id)
+            SELECT c.cohort_week,
+                   CAST((w.week - c.cohort_week) // 7 AS INT) AS week_offset,
+                   count(DISTINCT w.user_id) AS n_users
+            FROM weeks w JOIN coh c ON w.user_id = c.user_id
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "a17_windowed_rollup": """
             SELECT date_trunc('hour', ts) AS window_start,
                    event_type,

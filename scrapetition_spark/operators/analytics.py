@@ -334,3 +334,36 @@ def a18_user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def a20_cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention over the event stream: users are
+    cohorted by the ISO week of their first event; each later active
+    week increments that cohort's retention cell. The triangle
+    (cohort_week, week_offset, n_users) is the standard
+    product-analytics rollup.
+
+    Plan shape: one distinct on (user, week) — a hash aggregate —
+    one min-per-user hash agg for the cohort, a user-keyed join
+    (co-partitioned; both sides were just shuffled on user), and the
+    final (cohort, offset) count-distinct. No windows, no skew key:
+    user_id is maximal-cardinality and week has bounded fan-in.
+    Both engines truncate weeks to ISO Monday."""
+    ts = F.col("ts").cast("timestamp")
+    weeks = events.select(
+        "user_id", F.date_trunc("week", ts).cast("date").alias("week")
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -522,3 +522,31 @@ def test_p3_materialization_invariants(spark):
         assert r["offset_in_seq"] == cum % 512
         assert r["n_seqs_spanned"] == (cum + r["n_tokens"] - 1) // 512 - cum // 512 + 1
         by_stream[r["stream"]] = cum + r["n_tokens"]
+
+
+def test_cohort_retention_planted(spark):
+    """Hand-built cohort triangle: user 1 active weeks 0,1,3 of
+    cohort A; user 2 weeks 0,1; user 3 cohorts one week later,
+    active once. Multiple events in one week count once."""
+    import datetime as dt
+
+    from scrapetition_spark.operators.analytics import a20_cohort_retention
+
+    w0 = dt.datetime(2024, 1, 1, 10, 0)  # a Monday
+    wk = dt.timedelta(weeks=1)
+    rows = [
+        (1, w0), (1, w0 + dt.timedelta(days=2)), (1, w0 + wk), (1, w0 + 3 * wk),
+        (2, w0), (2, w0 + wk),
+        (3, w0 + wk),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_week"].isoformat(), r["week_offset"]): r["n_users"]
+        for r in a20_cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 2,
+        ("2024-01-01", 3): 1,
+        ("2024-01-08", 0): 1,
+    }
