@@ -295,7 +295,9 @@ def a3_graph_bfs(orders, lineitem, start_custkey: int = 1, max_depth: int = 2) -
     return visited.groupBy("depth").agg(F.count(F.lit(1)).alias("n_nodes")).orderBy("depth")
 
 
-def a18_user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def a18_user_sessions(
+    events: DataFrame, gap_minutes: int = 30, watermark: str | None = None
+) -> DataFrame:
     """Per-user event sessionization: events closer than
     ``gap_minutes`` chain into one session (the classic behavioral
     gap-and-islands rollup a crawl/clickstream pipeline needs before
@@ -315,15 +317,21 @@ def a18_user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     gap-padded window end — the padded end differs by exactly
     ``gap_minutes`` and carries no information.
     """
-    ts = F.col("ts").cast("timestamp")
+    ev = events.withColumn("__ts", F.col("ts").cast("timestamp"))
+    if watermark is not None:
+        # streaming form: every aggregate below is streaming-safe
+        # (count/max/sum — no distinct), so the SAME definition runs
+        # under a watermark in append mode; the batch run is what the
+        # stream is equated against in tests
+        ev = ev.withWatermark("__ts", watermark)
     return (
-        events.groupBy(
+        ev.groupBy(
             "user_id",
-            F.session_window(ts, f"{gap_minutes} minutes").alias("w"),
+            F.session_window(F.col("__ts"), f"{gap_minutes} minutes").alias("w"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.max(ts).alias("last_ts"),
+            F.max("__ts").alias("last_ts"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(

@@ -297,3 +297,70 @@ def test_windowed_rollup_stream_equals_batch(spark):
         if k[0] + dt.timedelta(hours=1) < horizon
     }
     assert closed <= set(got)
+
+
+def test_user_sessions_stream_equals_batch(spark):
+    """The SAME a18_user_sessions definition as a real file-source
+    stream (3 time-sliced micro-batches, append mode, 2h watermark):
+    every emitted session equals its batch twin — including sessions
+    whose events SPAN micro-batches (state merge) — and every session
+    the final watermark closed was emitted."""
+    import glob as _glob
+    import os as _os
+
+    from scrapetition_spark.operators.analytics import a18_user_sessions
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .orderBy("event_id")
+        .limit(900)
+        .select("user_id", "ts", "value")
+        .localCheckpoint()
+    )
+    key = lambda r: (r["user_id"], r["session_start"])
+    val = lambda r: (r["session_end"], r["n_events"], r["sum_value"])
+    batch = {key(r): val(r) for r in a18_user_sessions(events).collect()}
+    min_ts, max_ts = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    third = (max_ts - min_ts) / 3
+
+    with tempfile.TemporaryDirectory() as d:
+        for i in range(3):
+            lo = min_ts + i * third
+            hi = max_ts if i == 2 else min_ts + (i + 1) * third
+            cond = (F.col("ts") >= F.lit(lo)) & (
+                (F.col("ts") <= F.lit(hi)) if i == 2 else (F.col("ts") < F.lit(hi))
+            )
+            events.filter(cond).coalesce(1).write.mode("append").parquet(d)
+        for f in _glob.glob(f"{d}/part-*.parquet"):
+            t = spark.read.parquet(f).agg(F.min("ts")).collect()[0][0].timestamp()
+            _os.utime(f, (t, t))
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = a18_user_sessions(stream, watermark="2 hours")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sessions_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            key(r): val(r)
+            for r in spark.sql("SELECT * FROM sessions_stream").collect()
+        }
+
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert batch[k] == v, k
+    # completeness: sessions closed well before the final watermark
+    horizon = max_ts - dt.timedelta(hours=2)
+    closed = {
+        k for k, v in batch.items()
+        if v[0] + dt.timedelta(minutes=30) < horizon
+    }
+    assert closed <= set(got)
