@@ -1525,7 +1525,7 @@ def oracle_sql() -> dict[str, str]:
               FROM weeks GROUP BY user_id)
             SELECT c.cohort_week,
                    CAST((w.week - c.cohort_week) // 7 AS INT) AS week_offset,
-                   count(DISTINCT w.user_id) AS n_users
+                   count(*) AS n_users
             FROM weeks w JOIN coh c ON w.user_id = c.user_id
             GROUP BY 1, 2 ORDER BY 1, 2
         """,

@@ -372,6 +372,10 @@ def a20_cohort_retention(events: DataFrame) -> DataFrame:
             .alias("week_offset"),
         )
         .groupBy("cohort_week", "week_offset")
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        # weeks is distinct on (user, week) and offset is injective in
+        # week per user, so each user contributes exactly one row per
+        # group: plain count == count distinct, without the two-phase
+        # distinct aggregation
+        .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )

@@ -372,5 +372,7 @@ def test_crawl_then_pagerank(spark, site, docs):
     assert set(got) == set(nodes)
     for u in nodes:
         assert got[u] == pytest.approx(rank[u] * n, abs=2e-6), u
-    # the seed article is linked by every comment page: top authority
-    assert max(got, key=got.get) == SEED or got[SEED] > 1.0
+    # the seed article is linked by every comment page: it is THE
+    # top-ranked node (raw nranks sit below 1.0 here — comment leaf
+    # pages have no outlinks, so the leaky formulation sheds mass)
+    assert max(got, key=got.get) == SEED

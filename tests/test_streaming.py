@@ -217,6 +217,45 @@ def test_stream_ingest_dedup_gate(spark):
     }
 
 
+def _time_sliced_stream(spark, events, d, n_slices=3):
+    """Shared stream≡batch harness: write ``events`` as ``n_slices``
+    time-ordered parquet files under ``d`` and return a
+    maxFilesPerTrigger=1 readStream over them. Slices by TIME — micro-
+    batch order must roughly follow event time or rows older than the
+    advancing watermark (correctly) drop as too-late and append
+    under-counts. Empty slices are removed (an empty part file would
+    crash the mtime stamp and adds no micro-batch). mtimes are
+    stamped strictly increasing by slice: FileStreamSource orders
+    micro-batches by mtime, and three quick writes can tie on
+    coarse-mtime filesystems, scrambling the time order."""
+    import glob as _glob
+    import os as _os
+
+    min_ts, max_ts = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (max_ts - min_ts) / n_slices
+    for i in range(n_slices):
+        lo = min_ts + i * span
+        hi = max_ts if i == n_slices - 1 else min_ts + (i + 1) * span
+        cond = (F.col("ts") >= F.lit(lo)) & (
+            (F.col("ts") <= F.lit(hi))
+            if i == n_slices - 1
+            else (F.col("ts") < F.lit(hi))
+        )
+        events.filter(cond).coalesce(1).write.mode("append").parquet(d)
+    for f in _glob.glob(f"{d}/part-*.parquet"):
+        part_min = spark.read.parquet(f).agg(F.min("ts")).collect()[0][0]
+        if part_min is None:
+            _os.remove(f)
+            continue
+        t = part_min.timestamp()
+        _os.utime(f, (t, t))
+    return (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
 def test_windowed_rollup_stream_equals_batch(spark):
     """The SAME windowed_event_rollup definition, run as a real
     file-source stream (3 micro-batches, append mode, watermark 2h)
@@ -237,40 +276,8 @@ def test_windowed_rollup_stream_equals_batch(spark):
     }
     max_ts = events.agg(F.max("ts")).collect()[0][0]
 
-    min_ts = events.agg(F.min("ts")).collect()[0][0]
-    third = (max_ts - min_ts) / 3
     with tempfile.TemporaryDirectory() as d:
-        # three files -> three micro-batches under maxFilesPerTrigger=1.
-        # Split by TIME, not id: micro-batch order must roughly follow
-        # event time or rows older than the advancing watermark are
-        # (correctly) dropped as too-late and append under-counts.
-        for i in range(3):
-            lo = min_ts + i * third
-            hi = max_ts if i == 2 else min_ts + (i + 1) * third
-            part = events.filter(
-                (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
-                if i == 2
-                else (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
-            )
-            part.coalesce(1).write.mode("append").parquet(d)
-        # FileStreamSource orders micro-batches by mtime; three quick
-        # writes can tie on coarse-mtime filesystems and scramble the
-        # time order (older slices would then drop as late). Stamp
-        # strictly increasing mtimes by each file's time slice.
-        import glob as _glob
-        import os as _os
-
-        for f in _glob.glob(f"{d}/part-*.parquet"):
-            part_min = (
-                spark.read.parquet(f).agg(F.min("ts")).collect()[0][0]
-            )
-            t = part_min.timestamp()
-            _os.utime(f, (t, t))
-        stream = (
-            spark.readStream.schema(events.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(d)
-        )
+        stream = _time_sliced_stream(spark, events, d)
         out = windowed_event_rollup(stream, with_users=False)
         q = (
             out.writeStream.format("memory")
@@ -305,9 +312,6 @@ def test_user_sessions_stream_equals_batch(spark):
     every emitted session equals its batch twin — including sessions
     whose events SPAN micro-batches (state merge) — and every session
     the final watermark closed was emitted."""
-    import glob as _glob
-    import os as _os
-
     from scrapetition_spark.operators.analytics import a18_user_sessions
 
     events = (
@@ -320,26 +324,10 @@ def test_user_sessions_stream_equals_batch(spark):
     key = lambda r: (r["user_id"], r["session_start"])
     val = lambda r: (r["session_end"], r["n_events"], r["sum_value"])
     batch = {key(r): val(r) for r in a18_user_sessions(events).collect()}
-    min_ts, max_ts = events.agg(F.min("ts"), F.max("ts")).collect()[0]
-    third = (max_ts - min_ts) / 3
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
 
     with tempfile.TemporaryDirectory() as d:
-        for i in range(3):
-            lo = min_ts + i * third
-            hi = max_ts if i == 2 else min_ts + (i + 1) * third
-            cond = (F.col("ts") >= F.lit(lo)) & (
-                (F.col("ts") <= F.lit(hi)) if i == 2 else (F.col("ts") < F.lit(hi))
-            )
-            events.filter(cond).coalesce(1).write.mode("append").parquet(d)
-        for f in _glob.glob(f"{d}/part-*.parquet"):
-            t = spark.read.parquet(f).agg(F.min("ts")).collect()[0][0].timestamp()
-            _os.utime(f, (t, t))
-
-        stream = (
-            spark.readStream.schema(events.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(d)
-        )
+        stream = _time_sliced_stream(spark, events, d)
         out = a18_user_sessions(stream, watermark="2 hours")
         q = (
             out.writeStream.format("memory")
