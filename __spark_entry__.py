@@ -89,10 +89,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _comments_shaped(spark, sf):
         """Deterministic comments-shaped frame from ``documents`` —
-        id/parent/thread/user/name exactly as a crawl would persist
-        them (threads of 10, reply chains, 37 authors) — so the
-        crawl-native A10/A11 operators get an oracle-checkable input
-        (VERDICT r02 next-4)."""
+        id/parent/thread/user/name/last_scraped exactly as a crawl
+        would persist them (threads of 10, reply chains, 37 authors)
+        — so the crawl-native A10/A11 operators get an
+        oracle-checkable input (VERDICT r02 next-4). Every 97th-ish
+        row carries a RENAMED display name (``-v2``) and rows carry a
+        varying ``last_scraped``, so the latest-name projection rule
+        (VERDICT r04 wrong#2) is actually exercised: ``max(name)``
+        and latest-by-scrape-date genuinely differ here."""
         d = _t(spark, sf, "documents")
         uid = (F.col("doc_id") % 37).cast("string")
         return d.select(
@@ -100,7 +104,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.when(F.col("doc_id") % 10 != 0, F.col("doc_id") - 1).alias("parent"),
             (F.col("doc_id") - F.col("doc_id") % 10).alias("thread"),
             F.concat(F.lit("u"), uid).alias("user"),
-            F.concat(F.lit("user-"), uid).alias("name"),
+            F.concat(
+                F.lit("user-"),
+                uid,
+                F.when(F.col("doc_id") % 97 == 3, F.lit("-v2")).otherwise(
+                    F.lit("")
+                ),
+            ).alias("name"),
+            (F.col("doc_id") % 7).cast("int").alias("last_scraped"),
         )
 
     def a10b(spark, sf):
@@ -1342,7 +1353,9 @@ c AS (
          CASE WHEN doc_id % 10 <> 0 THEN doc_id - 1 END AS parent,
          doc_id - (doc_id % 10) AS thread,
          'u' || CAST(doc_id % 37 AS VARCHAR) AS usr,
-         'user-' || CAST(doc_id % 37 AS VARCHAR) AS name
+         'user-' || CAST(doc_id % 37 AS VARCHAR)
+           || CASE WHEN doc_id % 97 = 3 THEN '-v2' ELSE '' END AS name,
+         CAST(doc_id % 7 AS INT) AS last_scraped
   FROM documents)
 """
 
@@ -1445,11 +1458,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source, target
         """,
         "a10b_answer_graph_comments": f"""
-            WITH {_COMMENTS_SHAPED_CTE}
-            SELECT max(child.name) AS source, max(parent.name) AS target,
-                   count(child.id) AS weight
-            FROM c child JOIN c parent ON child.parent = parent.id
-            GROUP BY parent.usr, child.usr
+            WITH {_COMMENTS_SHAPED_CTE},
+            latest AS (
+              -- latest-scraped display name per user key, ties on id:
+              -- the twin of analytics.latest_display_names' max_by
+              SELECT usr, name FROM (
+                SELECT usr, name,
+                       row_number() OVER (
+                         PARTITION BY usr
+                         ORDER BY last_scraped DESC, id DESC) AS rn
+                FROM c) ranked
+              WHERE rn = 1),
+            edges AS (
+              SELECT parent.usr AS pu, child.usr AS cu,
+                     count(child.id) AS weight
+              FROM c child JOIN c parent ON child.parent = parent.id
+              GROUP BY parent.usr, child.usr)
+            SELECT ls.name AS source, lt.name AS target, weight
+            FROM edges
+            JOIN latest ls ON edges.cu = ls.usr
+            JOIN latest lt ON edges.pu = lt.usr
             ORDER BY weight, source, target
         """,
         "a11b_cooccurrence_comments": f"""
