@@ -505,10 +505,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def d10(spark, sf):
         """SemDedup: IVF-cell clustering + within-cell cosine prune —
         per-vector keep/dup_of decisions; the pairwise pass is
-        cell-local, never corpus-wide."""
-        return D.semantic_dedup(
-            _t(spark, sf, "embeddings"), n_cells=16, threshold=0.4
-        )
+        cell-local, never corpus-wide. n_cells auto-sizes
+        (ivf_cells_for: ~10^4-vector cells, floor 16) — the rule is
+        ACTIVE here and mirrored in the oracle's anchor LIMIT."""
+        return D.semantic_dedup(_t(spark, sf, "embeddings"), threshold=0.4)
 
     def t9(spark, sf):
         """Training-mix rebalance: per-language token shares vs the
@@ -858,7 +858,7 @@ def _hits_oracle_sql(n_iter: int = 8) -> str:
         ctes.append(
             f"""a{t} AS MATERIALIZED (
               SELECT node, round(authority /
-                (SELECT sum(authority) FROM a{t}raw), 6) AS authority
+                (SELECT round(sum(authority), 6) FROM a{t}raw), 6) AS authority
               FROM a{t}raw)"""
         )
         ctes.append(
@@ -872,7 +872,7 @@ def _hits_oracle_sql(n_iter: int = 8) -> str:
         ctes.append(
             f"""h{t} AS MATERIALIZED (
               SELECT node, round(hub /
-                (SELECT sum(hub) FROM h{t}raw), 6) AS hub
+                (SELECT round(sum(hub), 6) FROM h{t}raw), 6) AS hub
               FROM h{t}raw)"""
         )
     return (
@@ -1895,7 +1895,9 @@ def oracle_sql() -> dict[str, str]:
               -- (similarity.ivf_anchors): smallest md5(vec_id) hex
               SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c_emb
               FROM embeddings
-              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              -- ivf_cells_for mirror: ~10^4-vector cells, floor 16
+              LIMIT greatest(16, (SELECT count(*) FROM embeddings) // 10000)),
             asg AS (
               SELECT vec_id, cell FROM (
                 SELECT e.vec_id, c.cell,
@@ -2135,7 +2137,9 @@ def oracle_sql() -> dict[str, str]:
               -- similarity.ivf_anchors: smallest md5(vec_id) hex wins
               SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c_emb
               FROM embeddings
-              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              -- ivf_cells_for mirror: ~10^4-vector cells, floor 16
+              LIMIT greatest(16, (SELECT count(*) FROM embeddings) // 10000)),
             asg AS (
               SELECT vec_id, cell FROM (
                 SELECT e.vec_id, c.cell,

@@ -29,7 +29,8 @@ operator, expressed Spark-first as a fixed-iteration power method:
   with no dangling-node redistribution; nodes without out-edges leak
   their damped mass (documented, mirrored exactly in the oracle).
   The crawl-native graph (`corpus.link_graph_from_documents`) has
-  constant out-degree 3, so nothing leaks there.
+  out-degree >= 1 — the (d+1)%n edge always exists — so no node
+  leaks damped mass there.
 
 At 10^10 edges the iteration cost is the Σ-contribution shuffle;
 partitioning edges by ``src`` once and reusing that exchange every
@@ -159,7 +160,15 @@ def hits(
     e = edges.select("src", "dst").localCheckpoint()
 
     def _norm_round(scores: DataFrame, col: str) -> DataFrame:
-        total = scores.agg(F.sum(col).alias("__t"))
+        # the total itself is rounded to 6 before dividing: the raw
+        # sum of the (already-rounded) scores accumulates in engine/
+        # partitioning-dependent order, and a 1-ulp total difference
+        # landing exactly on a .5e-6 quotient boundary could flip a
+        # 6th-decimal digit cross-engine; rounding the normalizer
+        # (mirrored in the DuckDB twin) removes that ulp exposure
+        # except for raw totals straddling a boundary themselves
+        # (ADVICE r04)
+        total = scores.agg(F.round(F.sum(col), 6).alias("__t"))
         return (
             scores.crossJoin(F.broadcast(total))
             .select(

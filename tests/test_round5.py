@@ -12,6 +12,14 @@ import pytest
 from pyspark.sql import functions as F
 
 
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").localCheckpoint()
+
+
 def _comments(spark, rows):
     return spark.createDataFrame(
         rows, "id long, parent long, thread long, user string, "
@@ -131,6 +139,34 @@ def test_latest_display_name_projection(spark):
     }
     # u2 replied to u1's comment 1; u1 replied to own comment via id 3
     assert edges == {("bob", "aa-new"): 1, ("aa-new", "aa-new"): 1}
+
+
+def test_ivf_cells_auto_sizing_rule():
+    """ivf_cells_for keeps ~10^4-vector cells at any corpus size
+    (floor 16): the cell-local quadratic is then O(n·10^4) — linear
+    in n — instead of O(n²/16) with a fixed cell count."""
+    from scrapetition_spark.operators.similarity import ivf_cells_for
+
+    assert ivf_cells_for(500) == 16
+    assert ivf_cells_for(160_000) == 16
+    assert ivf_cells_for(1_000_000) == 100
+    assert ivf_cells_for(10_000_000_000) == 1_000_000
+    # per-cell expected membership stays at the target
+    assert 10_000_000_000 // ivf_cells_for(10_000_000_000) == 10_000
+
+
+def test_semantic_dedup_auto_cells_matches_explicit(spark, emb):
+    """Default (auto-sized) semantic_dedup equals the explicit
+    n_cells=16 run at sub-floor corpus size — the rule changes
+    nothing below the floor, by construction."""
+    from scrapetition_spark.operators.dedup import semantic_dedup
+
+    auto = {tuple(r) for r in semantic_dedup(emb, threshold=0.4).collect()}
+    expl = {
+        tuple(r)
+        for r in semantic_dedup(emb, n_cells=16, threshold=0.4).collect()
+    }
+    assert auto == expl
 
 
 def test_dump_html_multi_fragment_stitch(spark):
