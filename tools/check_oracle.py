@@ -4,11 +4,19 @@ given sf dir; compare row count, column names, and an
 order-insensitive value hash.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+Set CHECK_ORACLE_OUT=<path> to also write the results as a
+driver-format JSON file ({key: {rows_match, schema_match, hash_match,
+spark_rows, oracle_rows, err}}) — the committed
+CORRECTNESS_LOCAL_rN.json artifacts cover ALL keys even though the
+external driver truncates its own file at 50.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import sys
 
 import duckdb
@@ -45,6 +53,7 @@ def main() -> int:
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -53,15 +62,30 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark error: {ex}",
+            }
             continue
         if name not in oracles:
             print(f"OK*   {name}: rows-only ({len(sdf)} rows)")
+            results[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": len(sdf),
+                "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as ex:
             print(f"FAIL  {name}: oracle error: {ex}")
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(sdf),
+                "oracle_rows": None, "err": f"oracle error: {ex}",
+            }
             continue
         problems = []
         if len(sdf) != len(odf):
@@ -70,6 +94,14 @@ def main() -> int:
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
         elif value_hash(sdf) != value_hash(odf):
             problems.append("value hash mismatch")
+        results[name] = {
+            "rows_match": len(sdf) == len(odf),
+            "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+            "hash_match": not problems,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "err": "; ".join(problems) or None,
+        }
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failures.append(name)
@@ -83,6 +115,11 @@ def main() -> int:
         else:
             print(f"OK    {name}: {len(sdf)} rows")
     print(f"\n{len(failures)} failures: {failures}")
+    out = os.environ.get("CHECK_ORACLE_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {len(results)} results to {out}")
     return 1 if failures else 0
 
 
