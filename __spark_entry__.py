@@ -820,7 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, drop1, sink1, _os.path.join(root, "st1-ckpt"),
             watermark="10 minutes", available_now=True,
         )
-        q1.awaitTermination(300)
+        assert q1.awaitTermination(300), "st1 stream did not drain"
         batch1 = spark.createDataFrame(st1_rows, DISCOVERED_STREAM)
         cat_b.merge_insert(
             "urls", eng._url_row(batch1, scheduled=True),
@@ -857,7 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             admitted.writeStream.format("memory").queryName(qn)
             .outputMode("append").trigger(availableNow=True).start()
         )
-        q2.awaitTermination(300)
+        assert q2.awaitTermination(300), "st2 stream did not drain"
         s2 = spark.sql(f"SELECT host, target, admit_seq FROM {qn}")
         all2 = spark.createDataFrame(f1 + f2, DISCOVERED_STREAM)
         w = Window.partitionBy("host").orderBy("event_time", "target")
@@ -899,7 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, drop4, corpus, sink4,
             _os.path.join(root, "st4-ckpt"), available_now=True,
         )
-        q4.awaitTermination(300)
+        assert q4.awaitTermination(300), "st4 stream did not drain"
         s4f = spark.read.parquet(dec_dir)
         # batch twin: the d9 operators composed once over the full
         # input — cross dups vs the corpus + smaller-id intra dups
@@ -1713,8 +1713,10 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY parent.usr, child.usr)
             SELECT ls.name AS source, lt.name AS target, weight
             FROM edges
-            JOIN latest ls ON edges.cu = ls.usr
-            JOIN latest lt ON edges.pu = lt.usr
+            -- IS NOT DISTINCT FROM mirrors the Spark side's
+            -- eqNullSafe: anonymous (NULL-user) edges must survive
+            JOIN latest ls ON edges.cu IS NOT DISTINCT FROM ls.usr
+            JOIN latest lt ON edges.pu IS NOT DISTINCT FROM lt.usr
             ORDER BY weight, source, target
         """,
         "a11b_cooccurrence_comments": f"""

@@ -192,8 +192,14 @@ def _array_cooccurrence(
     adversarial groups (a 10^5-author thread yields 10^10 pairs *as
     output*, which no plan shape can shrink); default None is exact
     and oracle-verified."""
+    # NULL filters mirror the reference self-join's null-unsafe
+    # equi-join: a NULL group key (e.g. an orphan comment whose
+    # thread never resolved) joins nothing there, so it must form no
+    # group here — otherwise every orphan corpus-wide would collapse
+    # into one unbounded pseudo-group, the exact hot-key shape this
+    # rewrite exists to avoid
     items = rows.select(group_col, item_col).filter(
-        F.col(item_col).isNotNull()
+        F.col(item_col).isNotNull() & F.col(group_col).isNotNull()
     ).distinct()
     groups = items.groupBy(group_col).agg(
         F.sort_array(F.collect_set(item_col)).alias("__items")

@@ -93,6 +93,27 @@ def test_cooccurrence_matches_naive_self_join_semantics(spark):
     assert got == dict(exp)
 
 
+def test_cooccurrence_null_thread_orphans_make_no_edges(spark):
+    """Orphan comments (thread=NULL after propagate_threads) must form
+    NO co-occurrence group — the reference self-join's null-unsafe
+    equi-join drops them, and a corpus-wide NULL pseudo-group would
+    itself be the unbounded hot key the rewrite defuses."""
+    from scrapetition_spark.operators.analytics import cooccurrence_comments
+
+    rows = [
+        (1, None, 0, "u1", "a", 0),
+        (2, None, 0, "u2", "b", 0),
+        # orphans: same NULL thread, must NOT pair with each other
+        (3, None, None, "u3", "c", 0),
+        (4, None, None, "u4", "d", 0),
+    ]
+    cm = _comments(spark, rows)
+    got = {
+        (r["source"], r["target"]) for r in cooccurrence_comments(cm).collect()
+    }
+    assert got == {("a", "b"), ("b", "a")}
+
+
 def test_cooccurrence_author_cap_bounds_viral_thread(spark):
     """With ``max_authors_per_thread`` set, a hot thread contributes
     only pairs among its first ``cap`` sorted authors — the explicit
